@@ -1,0 +1,67 @@
+"""Render configuration.
+
+The reference scatters its knobs between Godot editor properties and
+hard-coded shader constants (SURVEY.md §5 "Config"): 5 bounces
+(main.glsl:377), ray-offset epsilon 0.001 (main.glsl:385), temporal blend
+0.75 (temporal_reprojection.glsl:64), near/far 0.01/1000
+(render_parameters.h:20-21). Here every one of them is an explicit field of a
+single hashable dataclass, used as a static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class DenoisingMode(enum.Enum):
+    """Analog of reference PathTracingCamera::DenoisingMode
+    (path_tracing_camera.h:30-34)."""
+
+    PROGRESSIVE = "progressive"
+    TEMPORAL = "temporal"
+    NONE = "none"
+
+
+class Traversal(enum.Enum):
+    """Which intersection backend the integrator uses."""
+
+    BRUTE = "brute"  # O(rays x tris) — the testing oracle, and surprisingly
+    #                  fast on TPU for small scenes (dense vector ops)
+    BVH = "bvh"      # two-level TLAS/BLAS stack traversal (batched lax loop)
+    PALLAS = "pallas"  # Pallas TPU kernel traversal
+
+
+class Jitter(enum.Enum):
+    NONE = "none"
+    UNIFORM = "uniform"   # uniform in [-0.5, 0.5]^2 around the pixel center
+    GAUSS = "gauss"       # Gaussian, sigma = 0.375 px (proper Box–Muller; the
+    #                       reference's box_muller drops the radius term —
+    #                       main.glsl:183-187 — a bug we fix, not copy)
+    CIRCLE = "circle"     # reference-compatible: point on the unit circle
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings. Hashable → usable as a jit static arg.
+
+    Resolution, FOV and near/far live on :class:`render.camera.Camera`
+    (the reference also sources them from the camera node,
+    path_tracing_camera.cpp:124,134)."""
+
+    bounces: int = 5          # reference hard-codes 5 (main.glsl:377)
+    spp: int = 1              # samples/pixel/frame (reference: 1, main.glsl:405)
+    ray_eps: float = 1e-3     # hit-point normal offset (main.glsl:385)
+    traversal: Traversal = Traversal.BVH
+    jitter: Jitter = Jitter.UNIFORM
+    max_stack: int = 64       # traversal stack depth (main.glsl:272,307)
+    tile_rays: int = 65536    # rays per traced tile (bounds stack memory)
+    temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
+    temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
+    denoising: DenoisingMode = DenoisingMode.PROGRESSIVE
+    # Sky gradient endpoints (main.glsl:189-192).
+    sky_horizon: tuple[float, float, float] = (0.95, 0.95, 0.95)
+    sky_zenith: tuple[float, float, float] = (0.9, 0.94, 1.0)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

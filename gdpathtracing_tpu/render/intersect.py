@@ -1,0 +1,128 @@
+"""Ray-primitive intersection + the brute-force scene tracer (oracle).
+
+Semantics re-expressed from the reference kernels:
+- Möller–Trumbore, no backface cull, |det| epsilon 1e-5
+  (main.glsl:224-257);
+- slab AABB test returning entry distance or 1e30 on miss
+  (main.glsl:259-268);
+- the brute-force tracer loops instances × triangle blocks — it is the O(N)
+  oracle every BVH backend is tested against (SURVEY.md §4c), and doubles
+  as a legitimately fast TPU backend for small scenes (dense, fully
+  vectorized, no divergence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.core.math3d import affine_apply_dir, affine_apply_point
+from gdpathtracing_tpu.core.vec import Vec3
+from gdpathtracing_tpu.render.types import MISS_T, HitInfo, Ray
+from gdpathtracing_tpu.scene.scene import Scene
+
+DET_EPS = 1e-5  # main.glsl:237
+AABB_MISS = jnp.float32(1e30)  # main.glsl:267
+
+
+def moller_trumbore(ray: Ray, v0: Vec3, v1: Vec3, v2: Vec3, t_max):
+    """Batched Möller–Trumbore. Broadcasts ray components against triangle
+    components. Returns (valid, t, u, v, front)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = ray.d.cross(e2)
+    det = e1.dot(pvec)
+    inv_det = jnp.where(jnp.abs(det) < DET_EPS, 0.0, 1.0 / det)
+    tvec = ray.o - v0
+    u = tvec.dot(pvec) * inv_det
+    qvec = tvec.cross(e1)
+    v = ray.d.dot(qvec) * inv_det
+    t = e2.dot(qvec) * inv_det
+    valid = (jnp.abs(det) >= DET_EPS) & (u >= 0.0) & (u <= 1.0) & \
+            (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (t < t_max)
+    # Front face ⇔ geometric normal faces the incoming ray. (The reference
+    # tests dot(geomN, d) > 0 on winding-flipped Godot-imported geometry,
+    # main.glsl:255; our data keeps OBJ CCW winding so the sign flips —
+    # same faces land front.)
+    geom_n = e1.cross(e2)
+    front = geom_n.dot(ray.d) < 0.0
+    return valid, t, u, v, front
+
+
+def intersect_aabb(o: Vec3, rcp_d: Vec3, bmin: Vec3, bmax: Vec3):
+    """Slab test (main.glsl:259-268): entry distance, or 1e30 on miss."""
+    t1 = (bmin - o) * rcp_d
+    t2 = (bmax - o) * rcp_d
+    tmin = t1.minimum(t2).max_component()
+    tmax = t1.maximum(t2).min_component()
+    return jnp.where((tmax >= tmin) & (tmax > 0.0), tmin, AABB_MISS)
+
+
+def _gather_tri(scene: Scene, idx: jnp.ndarray):
+    """Gather triangle vertices (clipped) → three Vec3 of idx's shape."""
+    tp = scene.tri_pos  # (T, 3, 3)
+    v = tp[idx]  # (..., 3, 3) — jnp clips OOB gather indices
+    return (Vec3(v[..., 0, 0], v[..., 0, 1], v[..., 0, 2]),
+            Vec3(v[..., 1, 0], v[..., 1, 1], v[..., 1, 2]),
+            Vec3(v[..., 2, 0], v[..., 2, 1], v[..., 2, 2]))
+
+
+def trace_brute(scene: Scene, ray: Ray, active=None,
+                tri_block: int = 512) -> HitInfo:
+    """Closest hit by exhaustive search: python loop over instances
+    (static), lax scan over triangle blocks (bounds memory to
+    N_rays x tri_block). The oracle all traversal backends are validated
+    against.
+
+    `t` stays comparable across instances because object-space directions
+    are not renormalized (see HitInfo docstring / main.glsl:320).
+    """
+    n = ray.o.x.shape[0]
+    best = HitInfo.none((n,))
+
+    for inst in range(scene.n_instances):
+        inv = scene.inst_inv_transform[inst]  # (3,4)
+        o_obj = affine_apply_point(inv, ray.o)
+        d_obj = affine_apply_dir(inv, ray.d)
+        r_obj = Ray(o_obj, d_obj)
+        first = scene.inst_tri_first[inst]   # static python ints
+        count = scene.inst_tri_count[inst]
+        n_blocks = -(-count // tri_block)
+
+        def body(carry, blk, first=first, count=count, r_obj=r_obj,
+                 inst=inst):
+            best = carry
+            tri_idx = first + blk * tri_block + jnp.arange(tri_block)
+            tri_ok = tri_idx < first + count
+            v0, v1, v2 = _gather_tri(scene, tri_idx)  # (B,) components
+            # Broadcast rays (N,1) against triangles (B,).
+            rr = Ray(Vec3(r_obj.o.x[:, None], r_obj.o.y[:, None],
+                          r_obj.o.z[:, None]),
+                     Vec3(r_obj.d.x[:, None], r_obj.d.y[:, None],
+                          r_obj.d.z[:, None]))
+            valid, t, u, v, front = moller_trumbore(
+                rr, v0, v1, v2, best.t[:, None])
+            valid = valid & tri_ok[None, :]
+            t = jnp.where(valid, t, MISS_T)
+            k = jnp.argmin(t, axis=1)
+            row = jnp.arange(n)
+            better = t[row, k] < best.t
+            upd = lambda new, old: jnp.where(better, new, old)
+            best = HitInfo(
+                t=upd(t[row, k], best.t),
+                tri=upd(tri_idx[k].astype(jnp.int32), best.tri),
+                inst=upd(jnp.int32(inst), best.inst),
+                u=upd(u[row, k], best.u),
+                v=upd(v[row, k], best.v),
+                front=jnp.where(better, front[row, k], best.front),
+                steps=best.steps + jnp.sum(tri_ok).astype(jnp.int32),
+            )
+            return best, None
+
+        best, _ = jax.lax.scan(body, best, jnp.arange(n_blocks))
+
+    if active is not None:
+        best = HitInfo(t=jnp.where(active, best.t, MISS_T),
+                       tri=best.tri, inst=best.inst, u=best.u, v=best.v,
+                       front=best.front, steps=best.steps)
+    return best

@@ -1,0 +1,115 @@
+"""Hit → shading data: barycentric interpolation, instance transforms,
+material fetch, texture-array sampling.
+
+Analog of get_shading_data (main.glsl:194-222) plus the sampler2DArray
+bilinear fetch (main.glsl:155, 213-214). Fully gather-based over the
+wavefront; every lookup is masked-safe (indices clipped).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.core.math3d import affine_apply_dir, affine_apply_point
+from gdpathtracing_tpu.core.vec import Vec3, where as vwhere
+from gdpathtracing_tpu.render.types import HitInfo, Ray, ShadingInfo
+from gdpathtracing_tpu.scene.scene import Scene
+
+MIN_ROUGHNESS = 0.006  # main.glsl:219
+
+
+def sample_texture_array(textures: jnp.ndarray, tex_idx: jnp.ndarray,
+                         u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+    """Bilinear sample of (X, R, R, 3) with repeat wrapping; tex_idx < 0
+    returns white (untextured, geometry_group3d.cpp conversion uses -1)."""
+    res = textures.shape[1]
+    fu = (u % 1.0) * res - 0.5
+    fv = (v % 1.0) * res - 0.5
+    x0 = jnp.floor(fu).astype(jnp.int32)
+    y0 = jnp.floor(fv).astype(jnp.int32)
+    fx = fu - x0
+    fy = fv - y0
+    x0w = x0 % res
+    y0w = y0 % res
+    x1w = (x0 + 1) % res
+    y1w = (y0 + 1) % res
+    t = jnp.maximum(tex_idx, 0)
+
+    def fetch(yy, xx):
+        c = textures[t, yy, xx]  # (N, 3)
+        return Vec3(c[..., 0], c[..., 1], c[..., 2])
+
+    c00 = fetch(y0w, x0w)
+    c01 = fetch(y0w, x1w)
+    c10 = fetch(y1w, x0w)
+    c11 = fetch(y1w, x1w)
+    top = c00 + (c01 - c00) * fx
+    bot = c10 + (c11 - c10) * fx
+    color = top + (bot - top) * fy
+    untextured = tex_idx < 0
+    one = Vec3.full(1.0)
+    return vwhere(untextured, one, color)
+
+
+def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray) -> ShadingInfo:
+    """main.glsl:194-222. `ray` is the world-space ray (out_dir = -d is
+    already world-space here, unlike the reference which stores an
+    object-space out_dir and re-transforms it at main.glsl:201 — same
+    result, one transform cheaper)."""
+    tri = hit.tri
+    inst = hit.inst
+
+    # Per-surface material id via the instance's material table
+    # (main.glsl:198) — the one-mesh-many-materials instancing mechanism.
+    slot = scene.tri_slot[tri]
+    slot = jnp.minimum(slot, scene.inst_materials.shape[1] - 1)
+    mat_id = scene.inst_materials[inst, slot]
+
+    tf = scene.inst_transform[inst]  # (N, 3, 4)
+
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+
+    nrm = scene.tri_normal[tri]  # (N, 3, 3)
+    n_obj = Vec3(
+        nrm[..., 0, 0] * w + nrm[..., 1, 0] * u + nrm[..., 2, 0] * v,
+        nrm[..., 0, 1] * w + nrm[..., 1, 1] * u + nrm[..., 2, 1] * v,
+        nrm[..., 0, 2] * w + nrm[..., 1, 2] * u + nrm[..., 2, 2] * v,
+    )
+    uvs = scene.tri_uv[tri]  # (N, 3, 2)
+    uv_u = uvs[..., 0, 0] * w + uvs[..., 1, 0] * u + uvs[..., 2, 0] * v
+    uv_v = uvs[..., 0, 1] * w + uvs[..., 1, 1] * u + uvs[..., 2, 1] * v
+
+    # Hit position: recompute in object space then transform (main.glsl:200)
+    # — equivalently o_world + t*d_world since t is instance-invariant.
+    position = ray.at(hit.t)
+    normal = affine_apply_dir(tf, n_obj).normalize(eps=1e-20)
+    normal = vwhere(hit.front, normal, -normal)
+    out_dir = -ray.d
+
+    albedo = Vec3(scene.mat_albedo[mat_id, 0], scene.mat_albedo[mat_id, 1],
+                  scene.mat_albedo[mat_id, 2])
+    tex_idx = scene.mat_tex[mat_id]
+    albedo = albedo * sample_texture_array(scene.textures, tex_idx, uv_u, uv_v)
+
+    energy = jnp.maximum(0.0, scene.mat_emission_energy[mat_id])
+    emission = Vec3(scene.mat_emission[mat_id, 0] * energy,
+                    scene.mat_emission[mat_id, 1] * energy,
+                    scene.mat_emission[mat_id, 2] * energy)
+
+    metallic = scene.mat_metallic[mat_id]
+    fresnel_0 = Vec3.full(0.02, like=albedo) + \
+        (albedo - Vec3.full(0.02, like=albedo)) * metallic  # main.glsl:217
+    diffuse_albedo = albedo - albedo * metallic              # main.glsl:218
+    roughness = jnp.maximum(MIN_ROUGHNESS, scene.mat_roughness[mat_id])
+
+    return ShadingInfo(
+        position=position,
+        normal=normal,
+        out_dir=out_dir,
+        lambert_out=normal.dot(out_dir),
+        emission=emission,
+        diffuse_albedo=diffuse_albedo,
+        fresnel_0=fresnel_0,
+        roughness=roughness,
+    )

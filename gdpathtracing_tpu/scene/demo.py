@@ -1,0 +1,113 @@
+"""The demo scene — programmatic rebuild of the reference's Cornell demo.
+
+Mirrors project/demo/demo.tscn:69-93: an emissive ceiling plane light, the
+3-surface Cornell cube with per-surface grey/red/green overrides, and two
+instances of one shared mesh (a UV sphere standing in for Suzanne — the
+instancing, not the monkey, is what the demo exercises): one diffuse +
+faintly emissive, one metallic mirror. Transforms and material parameters
+are transcribed from the .tscn (basis rows + origin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdpathtracing_tpu.render.camera import Camera
+from gdpathtracing_tpu.scene.materials import Material
+from gdpathtracing_tpu.scene.primitives import cornell_box, plane_mesh, uv_sphere
+from gdpathtracing_tpu.scene.scene import Scene, SceneBuilder
+
+
+def _affine(rows9, origin) -> np.ndarray:
+    """Godot tscn Transform3D(9 basis numbers row-major, origin) → (3,4)."""
+    m = np.zeros((3, 4), dtype=np.float32)
+    m[:, :3] = np.asarray(rows9, dtype=np.float32).reshape(3, 3)
+    m[:, 3] = origin
+    return m
+
+
+# demo.tscn materials (load_steps sub_resources)
+LIGHT_MAT = Material(albedo=(1, 1, 1),
+                     emission=(0.832472, 0.8072, 0.719802),
+                     emission_energy=10.0, roughness=1.0)          # tscn:23-27
+BOX_GREY = Material(albedo=(1, 1, 1), roughness=0.6)               # tscn:28-30
+BOX_RED = Material(albedo=(1.0, 0.16, 0.16), roughness=1.0)        # tscn:31-33
+BOX_GREEN = Material(albedo=(0.42, 1.0, 0.13), roughness=1.0)      # tscn:34-36
+SUZANNE_MAT = Material(albedo=(0.8, 0.8, 0.8),
+                       emission=(0.360742, 0.135649, 0.818479),
+                       emission_energy=0.4, roughness=1.0)         # tscn:37-41
+MIRROR_MAT = Material(albedo=(1, 1, 1), metallic=1.0,
+                      roughness=0.16)                              # tscn:43-45
+
+
+def build_demo_scene(texture_resolution: int = 1024,
+                     sphere_detail: int = 16) -> Scene:
+    b = SceneBuilder(texture_resolution=texture_resolution)
+
+    light_mesh = b.add_mesh(plane_mesh(size=2.0))
+    box_mesh = b.add_mesh(cornell_box(size=5.0))
+    sphere_mesh = b.add_mesh(
+        uv_sphere(radius=1.0, rings=sphere_detail, segments=2 * sphere_detail))
+
+    # Light: plane flipped to face down at y=2.956 (demo.tscn:73-76).
+    b.add_instance(
+        light_mesh,
+        _affine([1, 0, 0, 0, -1, 1.50996e-07, 0, -1.50996e-07, -1],
+                (0, 2.95581, 0)),
+        materials=[LIGHT_MAT])
+
+    # Cornell cube, rotated 90° about Y and scaled 0.6 (demo.tscn:78-83).
+    b.add_instance(
+        box_mesh,
+        _affine([-2.62268e-08, 0, -0.6, 0, 0.6, 0, 0.6, 0, -2.62268e-08],
+                (0, 0, 0)),
+        materials=[BOX_GREY, BOX_RED, BOX_GREEN])
+
+    # Two instances of the shared mesh (demo.tscn:85-93) — one BLAS,
+    # two BLASInstances, exercising the TLAS.
+    b.add_instance(
+        sphere_mesh,
+        _affine([0.982635, -0.208021, 0.656626,
+                 0.0853118, 1.17191, 0.243597,
+                 -0.68348, -0.152791, 0.974428],
+                (-1.16402, -1.55573, -0.923088)),
+        materials=[SUZANNE_MAT])
+    b.add_instance(
+        sphere_mesh,
+        _affine([0.934979, 0.0872355, -0.747128,
+                 0.0853118, 1.17191, 0.243597,
+                 0.74735, -0.242915, 0.906899],
+                (1.27032, -0.951083, -0.923088)),
+        materials=[MIRROR_MAT])
+
+    return b.build()
+
+
+def demo_camera(width: int, height: int, fov_deg: float = 79.5) -> Camera:
+    """Camera at (0, 0, 9.7694), identity basis, looking down -Z
+    (demo.tscn:49-53)."""
+    transform = np.array([[1, 0, 0, 0],
+                          [0, 1, 0, 0],
+                          [0, 0, 1, 9.7694]], dtype=np.float32)
+    return Camera.from_affine(transform, fov_deg=fov_deg,
+                              width=width, height=height)
+
+
+def build_cornell_simple(light_energy: float = 10.0) -> Scene:
+    """Minimal diffuse Cornell scene for tests (BASELINE config 1): the box
+    plus the plane light, no spheres."""
+    b = SceneBuilder()
+    light_mesh = b.add_mesh(plane_mesh(size=2.0))
+    box_mesh = b.add_mesh(cornell_box(size=5.0))
+    light = Material(albedo=(1, 1, 1), emission=(1, 1, 1),
+                     emission_energy=light_energy, roughness=1.0)
+    b.add_instance(
+        light_mesh,
+        _affine([1, 0, 0, 0, -1, 0, 0, 0, -1], (0, 2.95581, 0)),
+        materials=[light])
+    b.add_instance(
+        box_mesh,
+        _affine([-2.62268e-08, 0, -0.6, 0, 0.6, 0, 0.6, 0, -2.62268e-08],
+                (0, 0, 0)),
+        materials=[BOX_GREY, BOX_RED, BOX_GREEN])
+    return b.build()

@@ -1,0 +1,275 @@
+"""Scene: the flat device-array pytree + its builder ("scene compiler").
+
+TPU-native analog of the reference's GeometryGroup3D::build()
+(src/path_tracing/geometry_group3d.cpp:228-366), which scrapes the Godot
+scene tree into 7 flat GPU buffers. Here the same compilation — mesh dedupe,
+material resolution/dedupe, texture-array assembly, per-mesh BLAS build,
+per-instance records, TLAS build, geometry/shading data split — produces a
+registered JAX pytree of jnp arrays that passes straight into jitted render
+steps and shards trivially (scene is replicated; rays are sharded).
+
+Improvements over the reference, not copied from it:
+- material tables per instance are N-wide, not capped at 3 (bvh.h:75);
+- instance world AABBs use the correct corner transform (bvh.h:110 quirk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.bvh.blas import BLASBuilder, Surface
+from gdpathtracing_tpu.bvh.tlas import build_tlas, instance_world_aabb
+from gdpathtracing_tpu.scene.materials import (DEFAULT_MATERIAL, Material,
+                                               resize_texture)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Flat scene arrays. Counts live in the shapes (static under jit).
+
+    Triangles (in BVH order; the hot/cold split of
+    geometry_group3d.cpp:356-365 = tri_pos vs the rest):
+      tri_pos (T, 3, 3) f32 — [tri, vertex, xyz]
+      tri_normal (T, 3, 3) f32
+      tri_uv (T, 3, 2) f32
+      tri_slot (T,) i32 — surface slot into the instance material table
+    BLAS nodes (leaf ⇔ count > 0; bvh.h:46-54):
+      node_min/node_max (B, 3) f32; node_left/right/first/count (B,) i32
+    TLAS nodes (leaf ⇔ left == 0; bvh.h:56-62):
+      tlas_min/tlas_max (L, 3) f32; tlas_left/right/inst (L,) i32
+    Instances (bvh.h:64-79):
+      inst_transform / inst_inv_transform (I, 3, 4) f32 — affine rows
+      inst_root (I,) i32 — BLAS subtree root node
+      inst_materials (I, S) i32 — per-surface material ids
+    Materials (render_parameters.h:49-57):
+      mat_albedo (M, 3), mat_emission (M, 3), mat_emission_energy (M,),
+      mat_metallic (M,), mat_roughness (M,) f32, mat_tex (M,) i32 (-1 = none)
+    Textures: textures (X, R, R, 3) f32 (dummy 1-slice when none —
+      geometry_group3d.cpp:301-303)
+    """
+
+    tri_pos: jnp.ndarray
+    tri_normal: jnp.ndarray
+    tri_uv: jnp.ndarray
+    tri_slot: jnp.ndarray
+    node_min: jnp.ndarray
+    node_max: jnp.ndarray
+    node_left: jnp.ndarray
+    node_right: jnp.ndarray
+    node_first: jnp.ndarray
+    node_count: jnp.ndarray
+    tlas_min: jnp.ndarray
+    tlas_max: jnp.ndarray
+    tlas_left: jnp.ndarray
+    tlas_right: jnp.ndarray
+    tlas_inst: jnp.ndarray
+    inst_transform: jnp.ndarray
+    inst_inv_transform: jnp.ndarray
+    inst_root: jnp.ndarray
+    inst_materials: jnp.ndarray
+    mat_albedo: jnp.ndarray
+    mat_emission: jnp.ndarray
+    mat_emission_energy: jnp.ndarray
+    mat_metallic: jnp.ndarray
+    mat_roughness: jnp.ndarray
+    mat_tex: jnp.ndarray
+    textures: jnp.ndarray
+    # Static per-instance triangle ranges (tuples → hashable jit statics);
+    # used by the brute-force oracle backend.
+    inst_tri_first: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
+    inst_tri_count: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
+
+    @property
+    def n_tris(self) -> int:
+        return self.tri_pos.shape[0]
+
+    @property
+    def n_instances(self) -> int:
+        return self.inst_transform.shape[0]
+
+    @property
+    def n_materials(self) -> int:
+        return self.mat_albedo.shape[0]
+
+    def device_put(self, sharding=None) -> "Scene":
+        if sharding is None:
+            return jax.device_put(self)
+        return jax.device_put(self, sharding)
+
+
+@dataclasses.dataclass
+class _Instance:
+    mesh_id: int
+    transform: np.ndarray  # (3, 4)
+    material_ids: List[int]
+
+
+class SceneBuilder:
+    """Programmatic scene assembly → :class:`Scene`.
+
+    Replaces the reference's Godot scene scrape
+    (collect_mesh_instances, geometry_group3d.cpp:150-214): meshes are added
+    once and instanced many times (the dedupe-by-pointer of cpp:172-185
+    becomes an explicit mesh handle); per-surface material overrides resolve
+    exactly as the reference does (override or default slot 0).
+    """
+
+    def __init__(self, default_material: Material = DEFAULT_MATERIAL,
+                 texture_resolution: int = 512):
+        # Material slot 0 = default (geometry_group3d.cpp:239-247).
+        self.texture_resolution = texture_resolution
+        self._materials: List[Material] = [default_material]
+        self._material_keys = {default_material.key(): 0}
+        self._meshes: List[List[Surface]] = []
+        self._instances: List[_Instance] = []
+
+    # ---- meshes ----
+    def add_mesh(self, surfaces: Sequence[Surface]) -> int:
+        """Register a unique mesh (list of surfaces); returns a mesh id."""
+        self._meshes.append(list(surfaces))
+        return len(self._meshes) - 1
+
+    # ---- materials ----
+    def material_id(self, mat: Material | None) -> int:
+        """Dedupe + register a material; None → default slot 0
+        (geometry_group3d.cpp:186-202)."""
+        if mat is None:
+            return 0
+        k = mat.key()
+        if k not in self._material_keys:
+            self._material_keys[k] = len(self._materials)
+            self._materials.append(mat)
+        return self._material_keys[k]
+
+    # ---- instances ----
+    def add_instance(self, mesh_id: int, transform,
+                     materials: "Sequence[Material | None] | Material | None" = None,
+                     material_override: Material | None = None) -> int:
+        """Instance a mesh. `materials` = per-surface overrides;
+        `material_override` wins over all surfaces (the Godot
+        material_override precedence, geometry_group3d.cpp:186-202)."""
+        transform = np.asarray(transform, dtype=np.float32)
+        if transform.shape == (4, 4):
+            transform = transform[:3, :]
+        assert transform.shape == (3, 4), transform.shape
+        n_surf = len(self._meshes[mesh_id])
+        if material_override is not None:
+            ids = [self.material_id(material_override)] * n_surf
+        else:
+            if materials is None:
+                mats: List[Material | None] = [None] * n_surf
+            elif isinstance(materials, Material):
+                mats = [materials] * n_surf
+            else:
+                mats = list(materials) + [None] * (n_surf - len(materials))
+            ids = [self.material_id(m) for m in mats[:n_surf]]
+        self._instances.append(_Instance(mesh_id, transform, ids))
+        return len(self._instances) - 1
+
+    # ---- build ----
+    def build(self) -> Scene:
+        if not self._instances:
+            raise ValueError("scene has no instances")
+
+        # BLAS per unique mesh into shared pools
+        # (geometry_group3d.cpp:306-313).
+        blas_builder = BLASBuilder()
+        used_meshes = sorted({i.mesh_id for i in self._instances})
+        mesh_to_root = {}
+        for mid in used_meshes:
+            mesh_to_root[mid] = blas_builder.build_mesh(self._meshes[mid])
+        blas = blas_builder.finalize()
+        root_aabb = {mid: blas_builder.mesh_root_aabbs[k]
+                     for k, mid in enumerate(used_meshes)}
+        tri_range = {mid: blas_builder.mesh_tri_ranges[k]
+                     for k, mid in enumerate(used_meshes)}
+
+        # Instances + world AABBs + TLAS.
+        n_inst = len(self._instances)
+        max_surf = max(len(i.material_ids) for i in self._instances)
+        inst_transform = np.zeros((n_inst, 3, 4), dtype=np.float32)
+        inst_inv = np.zeros((n_inst, 3, 4), dtype=np.float32)
+        inst_root = np.zeros(n_inst, dtype=np.int32)
+        inst_materials = np.zeros((n_inst, max_surf), dtype=np.int32)
+        mins, maxs = [], []
+        for k, inst in enumerate(self._instances):
+            inst_transform[k] = inst.transform
+            r_inv = np.linalg.inv(inst.transform[:, :3])
+            inst_inv[k, :, :3] = r_inv
+            inst_inv[k, :, 3] = -r_inv @ inst.transform[:, 3]
+            inst_root[k] = mesh_to_root[inst.mesh_id]
+            inst_materials[k, :len(inst.material_ids)] = inst.material_ids
+            bmin, bmax = root_aabb[inst.mesh_id]
+            wmin, wmax = instance_world_aabb(inst.transform, bmin, bmax)
+            mins.append(wmin)
+            maxs.append(wmax)
+        tlas = build_tlas(mins, maxs)
+
+        # Material arrays + texture array
+        # (geometry_group3d.cpp:271-303).
+        n_mat = len(self._materials)
+        mat_albedo = np.zeros((n_mat, 3), dtype=np.float32)
+        mat_emission = np.zeros((n_mat, 3), dtype=np.float32)
+        mat_energy = np.zeros(n_mat, dtype=np.float32)
+        mat_metal = np.zeros(n_mat, dtype=np.float32)
+        mat_rough = np.zeros(n_mat, dtype=np.float32)
+        mat_tex = np.full(n_mat, -1, dtype=np.int32)
+        tex_by_id: dict[int, int] = {}
+        textures: List[np.ndarray] = []
+        for i, m in enumerate(self._materials):
+            mat_albedo[i] = m.albedo
+            mat_emission[i] = m.emission
+            mat_energy[i] = m.emission_energy
+            mat_metal[i] = m.metallic
+            mat_rough[i] = m.roughness
+            if m.albedo_texture is not None:
+                key = id(m.albedo_texture)
+                if key not in tex_by_id:
+                    tex_by_id[key] = len(textures)
+                    textures.append(
+                        resize_texture(m.albedo_texture, self.texture_resolution))
+                mat_tex[i] = tex_by_id[key]
+        if not textures:  # dummy slice (geometry_group3d.cpp:301-303)
+            textures = [np.ones((1, 1, 3), dtype=np.float32)]
+        tex_array = np.stack(textures, axis=0)
+
+        return Scene(
+            tri_pos=jnp.asarray(blas.tri_pos),
+            tri_normal=jnp.asarray(blas.tri_normal),
+            tri_uv=jnp.asarray(blas.tri_uv),
+            tri_slot=jnp.asarray(blas.tri_slot),
+            node_min=jnp.asarray(blas.node_min),
+            node_max=jnp.asarray(blas.node_max),
+            node_left=jnp.asarray(blas.node_left),
+            node_right=jnp.asarray(blas.node_right),
+            node_first=jnp.asarray(blas.node_first),
+            node_count=jnp.asarray(blas.node_count),
+            tlas_min=jnp.asarray(tlas.node_min),
+            tlas_max=jnp.asarray(tlas.node_max),
+            tlas_left=jnp.asarray(tlas.node_left),
+            tlas_right=jnp.asarray(tlas.node_right),
+            tlas_inst=jnp.asarray(tlas.node_inst),
+            inst_transform=jnp.asarray(inst_transform),
+            inst_inv_transform=jnp.asarray(inst_inv),
+            inst_root=jnp.asarray(inst_root),
+            inst_materials=jnp.asarray(inst_materials),
+            mat_albedo=jnp.asarray(mat_albedo),
+            mat_emission=jnp.asarray(mat_emission),
+            mat_emission_energy=jnp.asarray(mat_energy),
+            mat_metallic=jnp.asarray(mat_metal),
+            mat_roughness=jnp.asarray(mat_rough),
+            mat_tex=jnp.asarray(mat_tex),
+            textures=jnp.asarray(tex_array),
+            inst_tri_first=tuple(int(tri_range[i.mesh_id][0])
+                                 for i in self._instances),
+            inst_tri_count=tuple(int(tri_range[i.mesh_id][1])
+                                 for i in self._instances),
+        )

@@ -1,0 +1,111 @@
+"""Möller–Trumbore + slab AABB unit tests, and brute-force oracle vs BVH
+traversal equivalence on random rays (SURVEY.md §4c)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.core.vec import Vec3
+from gdpathtracing_tpu.render.intersect import (intersect_aabb,
+                                                moller_trumbore, trace_brute)
+from gdpathtracing_tpu.render.traverse import trace_bvh
+from gdpathtracing_tpu.render.types import Ray
+from gdpathtracing_tpu.scene.demo import build_demo_scene
+
+
+def _ray(o, d):
+    o = np.asarray(o, np.float32)[None]
+    d = np.asarray(d, np.float32)[None]
+    return Ray(Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d)))
+
+
+def _tri(v0, v1, v2):
+    return tuple(
+        Vec3.from_array(jnp.asarray(np.asarray(v, np.float32)[None]))
+        for v in (v0, v1, v2))
+
+
+def test_mt_hit_and_barycentrics():
+    v0, v1, v2 = _tri([0, 0, 0], [1, 0, 0], [0, 1, 0])
+    ray = _ray([0.25, 0.25, 1.0], [0, 0, -1])
+    ok, t, u, v, front = moller_trumbore(ray, v0, v1, v2, jnp.float32(1e9))
+    assert bool(ok[0])
+    assert abs(float(t[0]) - 1.0) < 1e-6
+    assert abs(float(u[0]) - 0.25) < 1e-6
+    assert abs(float(v[0]) - 0.25) < 1e-6
+    # geometric normal +z faces the ray coming from +z → front
+    assert bool(front[0])
+
+
+def test_mt_miss_outside():
+    v0, v1, v2 = _tri([0, 0, 0], [1, 0, 0], [0, 1, 0])
+    ok, *_ = moller_trumbore(_ray([0.9, 0.9, 1.0], [0, 0, -1]),
+                             v0, v1, v2, jnp.float32(1e9))
+    assert not bool(ok[0])
+
+
+def test_mt_no_backface_cull():
+    v0, v1, v2 = _tri([0, 0, 0], [1, 0, 0], [0, 1, 0])
+    ok, t, u, v, front = moller_trumbore(_ray([0.2, 0.2, -1.0], [0, 0, 1]),
+                                         v0, v1, v2, jnp.float32(1e9))
+    assert bool(ok[0])  # abs(det): both sides hit (main.glsl:237)
+    assert not bool(front[0])
+
+
+def test_mt_behind_origin():
+    v0, v1, v2 = _tri([0, 0, 0], [1, 0, 0], [0, 1, 0])
+    ok, *_ = moller_trumbore(_ray([0.2, 0.2, -1.0], [0, 0, -1]),
+                             v0, v1, v2, jnp.float32(1e9))
+    assert not bool(ok[0])
+
+
+def test_aabb_slab():
+    o = Vec3.from_array(jnp.asarray([[0.0, 0.0, -5.0]], dtype=jnp.float32))
+    d = Vec3.from_array(jnp.asarray([[0.0, 0.0, 1.0]], dtype=jnp.float32))
+    rcp = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+    bmin = Vec3.from_array(jnp.asarray([[-1.0, -1.0, -1.0]], dtype=jnp.float32))
+    bmax = Vec3.from_array(jnp.asarray([[1.0, 1.0, 1.0]], dtype=jnp.float32))
+    t = intersect_aabb(o, rcp, bmin, bmax)
+    assert abs(float(t[0]) - 4.0) < 1e-6
+    # From inside: tmin < 0 but tmax > 0 → returns tmin (negative), a hit.
+    o2 = Vec3.from_array(jnp.asarray([[0.0, 0.0, 0.0]], dtype=jnp.float32))
+    t2 = intersect_aabb(o2, rcp, bmin, bmax)
+    assert float(t2[0]) < 0.0
+    # Miss
+    o3 = Vec3.from_array(jnp.asarray([[5.0, 5.0, -5.0]], dtype=jnp.float32))
+    t3 = intersect_aabb(o3, rcp, bmin, bmax)
+    assert float(t3[0]) >= 1e29
+
+
+def _random_rays(n, seed=0):
+    rs = np.random.RandomState(seed)
+    # Mix of rays from outside-looking-in and inside the demo scene.
+    o = rs.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    o[: n // 2] = np.array([0, 0, 9.7694], np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Ray(Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d)))
+
+
+def test_bvh_matches_brute_oracle():
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    ray = _random_rays(512)
+    brute = trace_brute(scene, ray)
+    bvh = trace_bvh(scene, ray)
+    bt = np.asarray(brute.t)
+    vt = np.asarray(bvh.t)
+    hit_b = bt < 1e8
+    hit_v = vt < 1e8
+    assert (hit_b == hit_v).all(), f"hit mismatch: {np.sum(hit_b != hit_v)}"
+    assert np.allclose(bt[hit_b], vt[hit_b], rtol=1e-4, atol=1e-4)
+    # Same triangle except possible t-ties; compare instance+tri on clear hits
+    clear = hit_b & (np.abs(bt - vt) < 1e-5)
+    assert (np.asarray(brute.inst)[clear] == np.asarray(bvh.inst)[clear]).mean() > 0.999
+    assert (np.asarray(brute.tri)[clear] == np.asarray(bvh.tri)[clear]).mean() > 0.999
+
+
+def test_bvh_active_mask():
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=4)
+    ray = _random_rays(64, seed=1)
+    active = jnp.zeros(64, dtype=bool)
+    hit = trace_bvh(scene, ray, active=active)
+    assert (np.asarray(hit.t) >= 1e8).all()

@@ -1,0 +1,130 @@
+"""Scene compilation: builder, material dedupe/resolution, OBJ loader,
+primitives winding, demo scene assembly."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+
+from gdpathtracing_tpu.scene.demo import build_demo_scene
+from gdpathtracing_tpu.scene.materials import Material
+from gdpathtracing_tpu.scene.objloader import load_obj
+from gdpathtracing_tpu.scene.primitives import (cornell_box, plane_mesh,
+                                                uv_sphere)
+from gdpathtracing_tpu.scene.scene import SceneBuilder
+
+
+def test_demo_scene_shapes():
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=4)
+    assert scene.n_instances == 4
+    # light(1 surf) + box(3 surf) + 2 spheres(1 surf)
+    assert scene.inst_materials.shape[0] == 4
+    assert scene.n_tris == int(np.asarray(scene.tri_pos).shape[0])
+    # Two sphere instances share one BLAS root.
+    roots = np.asarray(scene.inst_root)
+    assert roots[2] == roots[3]
+    # Material 0 is the default grey.
+    assert np.allclose(np.asarray(scene.mat_albedo)[0], 0.5)
+
+
+def test_scene_is_pytree():
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=4)
+    leaves = jax.tree_util.tree_leaves(scene)
+    assert len(leaves) > 20
+    # static fields not leaves
+    assert all(not isinstance(l, tuple) for l in leaves)
+
+
+def test_material_dedupe():
+    b = SceneBuilder()
+    m1 = Material(albedo=(1, 0, 0))
+    m2 = Material(albedo=(1, 0, 0))
+    m3 = Material(albedo=(0, 1, 0))
+    assert b.material_id(m1) == b.material_id(m2)
+    assert b.material_id(m3) != b.material_id(m1)
+    assert b.material_id(None) == 0
+
+
+def test_material_override_precedence():
+    b = SceneBuilder()
+    mesh = b.add_mesh(cornell_box())
+    override = Material(albedo=(0.1, 0.2, 0.3))
+    per_surf = Material(albedo=(0.9, 0.9, 0.9))
+    b.add_instance(mesh, np.eye(4, dtype=np.float32)[:3],
+                   materials=[per_surf, per_surf, per_surf],
+                   material_override=override)
+    scene = b.build()
+    oid = np.asarray(scene.inst_materials)[0]
+    albedo = np.asarray(scene.mat_albedo)[oid[0]]
+    assert np.allclose(albedo, (0.1, 0.2, 0.3))
+    assert (oid == oid[0]).all()
+
+
+def test_primitives_windings_match_normals():
+    for surfs in (cornell_box(), plane_mesh(), uv_sphere(rings=6, segments=8)):
+        for s in surfs:
+            e1 = s.positions[:, 1] - s.positions[:, 0]
+            e2 = s.positions[:, 2] - s.positions[:, 0]
+            geom = np.cross(e1, e2)
+            avg_n = s.normals.mean(axis=1)
+            dots = (geom * avg_n).sum(axis=1)
+            assert (dots > 0).all()
+
+
+def test_obj_loader_quads_and_groups():
+    obj = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+vt 0 0
+usemtl a
+f 1/1/1 2/1/1 3/1/1 4/1/1
+usemtl b
+f 1/1/1 3/1/1 4/1/1
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write(obj)
+        path = f.name
+    try:
+        surfs = load_obj(path)
+        assert len(surfs) == 2
+        assert surfs[0].n_tris == 2  # quad → 2 tris
+        assert surfs[1].n_tris == 1
+        assert np.allclose(surfs[0].normals, [0, 0, 1])
+    finally:
+        os.unlink(path)
+
+
+def test_obj_loader_negative_indices_and_missing_normals():
+    obj = """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+f -3 -2 -1
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write(obj)
+        path = f.name
+    try:
+        surfs = load_obj(path)
+        assert len(surfs) == 1
+        # computed face normal +z
+        assert np.allclose(surfs[0].normals, [0, 0, 1])
+    finally:
+        os.unlink(path)
+
+
+def test_texture_array_assembly():
+    b = SceneBuilder(texture_resolution=4)
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :, 0] = 255
+    mesh = b.add_mesh(plane_mesh())
+    b.add_instance(mesh, np.eye(4, dtype=np.float32)[:3],
+                   materials=[Material(albedo=(1, 1, 1), albedo_texture=tex)])
+    scene = b.build()
+    assert scene.textures.shape == (1, 4, 4, 3)
+    assert np.allclose(np.asarray(scene.textures)[0, :, :, 0], 1.0)
+    assert int(np.asarray(scene.mat_tex)[1]) == 0  # slot 1 (0=default)
