@@ -93,10 +93,17 @@ class BLASArrays:
 
 class BLASBuilder:
     """Shared-pool builder. One ``build_mesh`` call per unique mesh
-    (geometry_group3d.cpp:306-313); ``finalize`` emits the flat arrays."""
+    (geometry_group3d.cpp:306-313); ``finalize`` emits the flat arrays.
 
-    def __init__(self, max_leaf_tris: int = MAX_LEAF_TRIS):
+    ``backend``: 'auto' uses the native C++ core (native/bvh_builder.cpp,
+    same algorithm, bit-identical trees) when a toolchain is available,
+    falling back to the NumPy implementation; 'native'/'numpy' force one.
+    """
+
+    def __init__(self, max_leaf_tris: int = MAX_LEAF_TRIS,
+                 backend: str = "auto"):
         self.max_leaf_tris = max_leaf_tris
+        self.backend = backend
         self._pos: List[np.ndarray] = []
         self._nrm: List[np.ndarray] = []
         self._uv: List[np.ndarray] = []
@@ -118,11 +125,20 @@ class BLASBuilder:
         if n == 0:
             raise ValueError("mesh has no triangles")
 
+        tri_base = sum(len(p) for p in self._pos)
+
+        use_native = self.backend in ("auto", "native")
+        if use_native:
+            from gdpathtracing_tpu.bvh import native
+            if native.available():
+                root = self._build_mesh_native(pos, nrm, uv, slot, tri_base)
+                return root
+            if self.backend == "native":
+                raise RuntimeError("native BVH builder unavailable")
+
         centroids = pos.mean(axis=1)
         tri_min = pos.min(axis=1)
         tri_max = pos.max(axis=1)
-
-        tri_base = sum(len(p) for p in self._pos)
         order = np.arange(n)
         root = len(self._nodes)
         # Iterative top-down build with an explicit stack of (node_idx, lo, hi).
@@ -183,6 +199,32 @@ class BLASBuilder:
         self.mesh_tri_ranges.append((tri_base, n))
         return root
 
+    def _build_mesh_native(self, pos, nrm, uv, slot, tri_base) -> int:
+        """Build via the C++ core and splice into the shared pools
+        (subtree-local node/tri indices get the pool offsets)."""
+        from gdpathtracing_tpu.bvh import native
+
+        (nmin, nmax, left, right, first, count, order) = \
+            native.build_blas_native(pos, self.max_leaf_tris)
+        node_base = len(self._nodes)
+        internal = count == 0
+        for i in range(len(nmin)):
+            if internal[i]:
+                self._nodes.append((nmin[i], nmax[i],
+                                    int(left[i]) + node_base,
+                                    int(right[i]) + node_base, 0, 0))
+            else:
+                self._nodes.append((nmin[i], nmax[i], 0, 0,
+                                    int(first[i]) + tri_base, int(count[i])))
+        self._pos.append(pos[order])
+        self._nrm.append(nrm[order])
+        self._uv.append(uv[order])
+        self._slot.append(slot[order])
+        self.mesh_roots.append(node_base)
+        self.mesh_root_aabbs.append((nmin[0].copy(), nmax[0].copy()))
+        self.mesh_tri_ranges.append((tri_base, len(pos)))
+        return node_base
+
     def _find_sah_split(self, cent, tmin, tmax, bmin, bmax):
         """8-bin SAH sweep over 3 axes (bvh.cpp:39-106). Returns
         (axis, plane) or None when no split beats the parent cost with the
@@ -196,9 +238,12 @@ class BLASBuilder:
             cmax = cent[:, axis].max()
             if cmax <= cmin:
                 continue
-            scale = BINS / (cmax - cmin)
-            bin_idx = np.minimum((( cent[:, axis] - cmin) * scale).astype(np.int64),
-                                 BINS - 1)
+            # float64 binning — the exact arithmetic the native C++ core
+            # uses, so both builders produce bit-identical trees.
+            scale = np.float64(BINS) / (np.float64(cmax) - np.float64(cmin))
+            bin_idx = np.minimum(
+                ((cent[:, axis].astype(np.float64) - np.float64(cmin))
+                 * scale).astype(np.int64), BINS - 1)
             bin_counts = np.bincount(bin_idx, minlength=BINS)
             bin_min = np.full((BINS, 3), np.inf, dtype=np.float64)
             bin_max = np.full((BINS, 3), -np.inf, dtype=np.float64)
@@ -221,7 +266,7 @@ class BLASBuilder:
                         rcount[i + 1] * _half_area(rmin[i + 1], rmax[i + 1]))
                 if cost < best_cost:
                     best_cost = cost
-                    best = (axis, cmin + (i + 1) / scale)
+                    best = (axis, np.float64(cmin) + (i + 1) / scale)
         if best is None or best_cost * SAH_SLACK >= parent_cost:
             return None
         return best

@@ -26,10 +26,10 @@ class DenoisingMode(enum.Enum):
 class Traversal(enum.Enum):
     """Which intersection backend the integrator uses."""
 
-    BRUTE = "brute"  # O(rays x tris) — the testing oracle, and surprisingly
-    #                  fast on TPU for small scenes (dense vector ops)
+    BRUTE = "brute"  # O(rays x tris) Möller–Trumbore — the testing oracle
     BVH = "bvh"      # two-level TLAS/BLAS stack traversal (batched lax loop)
-    PALLAS = "pallas"  # Pallas TPU kernel traversal
+    UNIT = "unit"    # O(rays x tris) unit-triangle-space matmul formulation
+    PALLAS = "pallas"  # fused Pallas TPU kernel (unit-triangle space)
 
 
 class Jitter(enum.Enum):

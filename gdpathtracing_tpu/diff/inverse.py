@@ -1,0 +1,89 @@
+"""Differentiable / inverse rendering (BASELINE config 4 — a capability the
+reference does not have).
+
+The integrator is written to be differentiable end-to-end: sampling
+decisions and pdfs are detached (render/integrator.py), so
+``jax.grad`` of any pixel functional w.r.t. scene parameters — material
+albedo/emission/roughness, albedo textures, triangle vertices, camera
+pose — yields the standard interior-derivative estimator. Visibility
+(silhouette) discontinuities are NOT differentiated yet; gradients are
+exact for parameters that do not move silhouettes (albedo, emission,
+textures) and biased near silhouettes for geometry/camera.
+
+``apply_fn``-style parameterization: a pure function
+``(base_scene_or_camera, params) -> scene/camera`` defines WHAT is being
+optimized; this module provides the common ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.config import RenderConfig
+from gdpathtracing_tpu.render.camera import Camera
+from gdpathtracing_tpu.render.renderer import render_radiance
+from gdpathtracing_tpu.scene.scene import Scene
+
+
+# ---- parameterizations ----
+
+def replace_albedo(scene: Scene, albedo: jnp.ndarray) -> Scene:
+    return dataclasses.replace(scene, mat_albedo=albedo)
+
+
+def replace_emission(scene: Scene, emission: jnp.ndarray) -> Scene:
+    return dataclasses.replace(scene, mat_emission=emission)
+
+
+def replace_vertices(scene: Scene, tri_pos: jnp.ndarray) -> Scene:
+    return dataclasses.replace(scene, tri_pos=tri_pos)
+
+
+def replace_textures(scene: Scene, textures: jnp.ndarray) -> Scene:
+    return dataclasses.replace(scene, textures=textures)
+
+
+def replace_camera_transform(camera: Camera, transform: jnp.ndarray) -> Camera:
+    return dataclasses.replace(camera, transform=transform)
+
+
+# ---- losses ----
+
+def image_mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def render_loss(params, apply_scene: Callable[[Scene, object], Scene],
+                base_scene: Scene, camera: Camera, config: RenderConfig,
+                target: jnp.ndarray, frame_index=0,
+                apply_camera: Callable[[Camera, object], Camera] | None = None):
+    """MSE between a render under `params` and `target`. `params` may feed
+    the scene, the camera, or both (pass a (scene_p, cam_p) tuple and both
+    apply fns)."""
+    if apply_camera is not None:
+        scene_p, cam_p = params
+        scene = apply_scene(base_scene, scene_p)
+        camera = apply_camera(camera, cam_p)
+    else:
+        scene = apply_scene(base_scene, params)
+    aovs = render_radiance(scene, camera, config, frame_index)
+    return image_mse(aovs.radiance, target)
+
+
+def value_and_grad_step(apply_scene, config: RenderConfig,
+                        apply_camera=None):
+    """Returns a jittable fn(params, base_scene, camera, target,
+    frame_index) -> (loss, grads). Gradients average over the pixel
+    estimator; under a device mesh the psum over chips is inserted by XLA
+    automatically (parallel/sharding.py notes)."""
+
+    def fn(params, base_scene, camera, target, frame_index=0):
+        return jax.value_and_grad(render_loss)(
+            params, apply_scene, base_scene, camera, config, target,
+            frame_index, apply_camera)
+
+    return fn

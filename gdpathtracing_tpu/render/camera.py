@@ -153,7 +153,8 @@ class Camera:
                  m[1, 0] * cx + m[1, 1] * cy + m[1, 2] * cz,
                  m[2, 0] * cx + m[2, 1] * cy + m[2, 2] * cz).normalize()
         pos = self.position
-        o = Vec3(jnp.broadcast_to(pos.x, sx.shape),
-                 jnp.broadcast_to(pos.y, sx.shape),
-                 jnp.broadcast_to(pos.z, sx.shape))
+        # Tie the origin to d's varying-axes type (+ d*0): under shard_map
+        # the camera is replicated but rays are sharded; a plain broadcast
+        # would make `o` replicated-typed and break downstream loop carries.
+        o = Vec3(pos.x + d.x * 0.0, pos.y + d.y * 0.0, pos.z + d.z * 0.0)
         return Ray(o=o, d=d), seed

@@ -40,9 +40,12 @@ def get_trace_fn(config: RenderConfig) -> TraceFn:
         from gdpathtracing_tpu.render.traverse import trace_bvh
         return lambda scene, ray, active: trace_bvh(
             scene, ray, active, max_stack=config.max_stack)
+    if config.traversal == Traversal.UNIT:
+        from gdpathtracing_tpu.render.intersect import trace_unit
+        return lambda scene, ray, active: trace_unit(scene, ray, active)
     if config.traversal == Traversal.PALLAS:
-        from gdpathtracing_tpu.ops.traverse_pallas import trace_bvh_pallas
-        return lambda scene, ray, active: trace_bvh_pallas(scene, ray, active)
+        from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
+        return lambda scene, ray, active: trace_pallas(scene, ray, active)
     raise ValueError(config.traversal)
 
 
@@ -50,6 +53,7 @@ class PathTraceResult(NamedTuple):
     radiance: Vec3          # (N,) per ray
     depth: jnp.ndarray      # (N,) linear distance of first hit (far if miss)
     steps: jnp.ndarray      # (N,) triangle tests — DEBUG_STEPS analog
+    segments: jnp.ndarray   # (N,) ray segments actually traced (≤ bounces)
 
 
 def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
@@ -63,11 +67,13 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     f32 = jnp.float32
 
     def body(i, carry):
-        (ray_o, ray_d, throughput, radiance, active, seed, depth, steps) = carry
+        (ray_o, ray_d, throughput, radiance, active, seed, depth, steps,
+         segments) = carry
         r = Ray(ray_o, ray_d)
         hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
         steps = steps + jnp.where(active, hit.steps, 0)
+        segments = segments + active.astype(jnp.int32)
 
         s = get_shading_data(scene, hit, r)
         sky = sample_sky(ray_d, config)
@@ -99,12 +105,18 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         throughput = vwhere(survive, new_throughput, throughput)
         active = survive
         return (ray_o, ray_d, throughput, radiance, active, seed, depth,
-                steps)
+                steps, segments)
 
-    init = (ray.o, ray.d,
-            Vec3.full(1.0, like=ray.o), Vec3.full(0.0, like=ray.o),
-            jnp.ones(n, dtype=bool), seed,
-            jnp.full(n, far, dtype=f32), jnp.zeros(n, dtype=jnp.int32))
-    (_, _, _, radiance, _, _, depth, steps) = jax.lax.fori_loop(
+    # Carries derive from `ray` arithmetically so they inherit its
+    # varying-axes type under shard_map (cf. HitInfo.none_like).
+    zero_n = ray.o.x * 0.0
+    one3 = Vec3(zero_n + 1.0, zero_n + 1.0, zero_n + 1.0)
+    zero3 = Vec3(zero_n, zero_n, zero_n)
+    init = (ray.o, ray.d, one3, zero3,
+            zero_n.astype(bool) | True, seed,
+            zero_n + f32(far), zero_n.astype(jnp.int32),
+            zero_n.astype(jnp.int32))
+    (_, _, _, radiance, _, _, depth, steps, segments) = jax.lax.fori_loop(
         0, config.bounces, body, init)
-    return PathTraceResult(radiance=radiance, depth=depth, steps=steps)
+    return PathTraceResult(radiance=radiance, depth=depth, steps=steps,
+                           segments=segments)

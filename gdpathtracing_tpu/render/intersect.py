@@ -78,7 +78,7 @@ def trace_brute(scene: Scene, ray: Ray, active=None,
     are not renormalized (see HitInfo docstring / main.glsl:320).
     """
     n = ray.o.x.shape[0]
-    best = HitInfo.none((n,))
+    best = HitInfo.none_like(ray.o.x)
 
     for inst in range(scene.n_instances):
         inv = scene.inst_inv_transform[inst]  # (3,4)
@@ -126,3 +126,78 @@ def trace_brute(scene: Scene, ray: Ray, active=None,
                        tri=best.tri, inst=best.inst, u=best.u, v=best.v,
                        front=best.front, steps=best.steps)
     return best
+
+
+def trace_unit(scene: Scene, ray: Ray, active=None,
+               chunk: int = 512) -> HitInfo:
+    """Closest hit via unit-triangle-space matmuls over the
+    instance-expanded world-space triangle list (Scene.isect_*).
+
+    Two (N,4)x(4,C) contractions per chunk + elementwise epilogue — the
+    formulation that maps ray-triangle intersection onto the TPU's
+    matrix/vector units instead of per-pair cross products. Pure-JAX
+    version; ops/intersect_pallas.py fuses the same math into VMEM.
+    """
+    n = ray.o.x.shape[0]
+    e = scene.isect_mu.shape[1]
+    n_chunks = e // chunk if e % chunk == 0 else -(-e // chunk)
+
+    o4 = jnp.stack([ray.o.x, ray.o.y, ray.o.z,
+                    jnp.ones_like(ray.o.x)], axis=1)  # (N, 4)
+    d4 = jnp.stack([ray.d.x, ray.d.y, ray.d.z,
+                    jnp.zeros_like(ray.d.x)], axis=1)
+
+    best_t = ray.o.x * 0.0 + MISS_T
+    best_e = (ray.o.x * 0.0).astype(jnp.int32)
+    best_u = ray.o.x * 0.0
+    best_v = ray.o.x * 0.0
+    best_front = best_e.astype(bool)
+
+    def body(carry, ci):
+        best_t, best_e, best_u, best_v, best_front = carry
+        sl = ci * chunk
+        mu = jax.lax.dynamic_slice(scene.isect_mu, (0, sl), (4, chunk))
+        mv = jax.lax.dynamic_slice(scene.isect_mv, (0, sl), (4, chunk))
+        mw = jax.lax.dynamic_slice(scene.isect_mw, (0, sl), (4, chunk))
+
+        def mm(a, m):
+            return jax.lax.dot_general(
+                a, m, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+        inv_wd = jnp.where(jnp.abs(w_d) > 1e-12, 1.0 / w_d, 0.0)
+        t = -w_o * inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        valid = (jnp.abs(w_d) > 1e-12) & (t > 0.0) & (u >= 0.0) & \
+            (v >= 0.0) & (u + v <= 1.0) & (t < best_t[:, None])
+        t = jnp.where(valid, t, MISS_T)
+        k = jnp.argmin(t, axis=1)
+        row = jnp.arange(n)
+        tk = t[row, k]
+        better = tk < best_t
+        ei = (sl + k).astype(jnp.int32)
+        best = (
+            jnp.where(better, tk, best_t),
+            jnp.where(better, ei, best_e),
+            jnp.where(better, u[row, k], best_u),
+            jnp.where(better, v[row, k], best_v),
+            jnp.where(better, w_d[row, k] < 0.0, best_front),
+        )
+        return best, None
+
+    (best_t, best_e, best_u, best_v, best_front), _ = jax.lax.scan(
+        body, (best_t, best_e, best_u, best_v, best_front),
+        jnp.arange(n_chunks))
+
+    hit = best_t < MISS_T
+    tri = jnp.where(hit, scene.isect_tri[best_e], 0)
+    inst = jnp.where(hit, scene.isect_inst[best_e], 0)
+    steps = (ray.o.x * 0.0).astype(jnp.int32) + e
+    if active is not None:
+        best_t = jnp.where(active, best_t, MISS_T)
+    return HitInfo(t=best_t, tri=tri, inst=inst, u=best_u, v=best_v,
+                   front=best_front, steps=steps)

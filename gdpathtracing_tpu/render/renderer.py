@@ -32,6 +32,7 @@ class FrameAOVs(NamedTuple):
     radiance: jnp.ndarray  # (H, W, 3) f32 linear
     depth: jnp.ndarray     # (H, W) f32 linear first-hit distance
     steps: jnp.ndarray     # (H, W) i32 triangle tests (DEBUG_STEPS analog)
+    segments: jnp.ndarray  # (H, W) i32 traced ray segments (for Mrays/s)
 
 
 def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
@@ -58,6 +59,7 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
         acc_b = jnp.zeros(tile, jnp.float32)
         depth = None
         steps = jnp.zeros(tile, jnp.int32)
+        segments = jnp.zeros(tile, jnp.int32)
         for s in range(config.spp):  # static unroll; spp is per-frame small
             seed = rng.prng_seed(px, py,
                                  frame_index * jnp.uint32(config.spp)
@@ -71,22 +73,23 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
             depth = res.depth if depth is None else jnp.minimum(depth,
                                                                 res.depth)
             steps = steps + res.steps
+            segments = segments + res.segments
         inv = 1.0 / config.spp
         return (jnp.stack([acc_r * inv, acc_g * inv, acc_b * inv], axis=-1),
-                depth, steps)
+                depth, steps, segments)
 
     if n_tiles == 1:
-        rgb, depth, steps = do_tile(tiles[0])
+        rgb, depth, steps, segments = do_tile(tiles[0])
     else:
-        rgb, depth, steps = jax.lax.map(do_tile, tiles)
+        rgb, depth, steps, segments = jax.lax.map(do_tile, tiles)
         rgb = rgb.reshape(padded, 3)
-        depth = depth.reshape(padded)
-        steps = steps.reshape(padded)
 
-    rgb = rgb[:n_pix].reshape(h, w, 3)
+    rgb = rgb.reshape(-1, 3)[:n_pix].reshape(h, w, 3)
     depth = depth.reshape(-1)[:n_pix].reshape(h, w)
     steps = steps.reshape(-1)[:n_pix].reshape(h, w)
-    return FrameAOVs(radiance=rgb, depth=depth, steps=steps)
+    segments = segments.reshape(-1)[:n_pix].reshape(h, w)
+    return FrameAOVs(radiance=rgb, depth=depth, steps=steps,
+                     segments=segments)
 
 
 def render(scene: Scene, camera: Camera, config: RenderConfig | None = None,

@@ -49,16 +49,20 @@ def trace_bvh(scene: Scene, ray: Ray, active=None, max_stack: int = 64,
 
     rcp_w = ray.rcp_d()
 
+    # All loop carries are derived arithmetically from `ray` so they carry
+    # its varying-axes type under shard_map (see HitInfo.none_like).
+    zero_n = (ray.o.x * 0.0).astype(jnp.int32)
     if active is None:
-        active0 = jnp.ones(n, dtype=bool)
+        active0 = zero_n.astype(bool) | True
     else:
         active0 = active
 
-    stack = jnp.zeros((n, max_stack), dtype=jnp.uint32)
+    stack = (zero_n.astype(jnp.uint32))[:, None] + \
+        jnp.zeros((1, max_stack), dtype=jnp.uint32)
     # Root entry = TLAS node 0 (tag 0) — already the zero word; start with
     # ptr=1 for live rays.
     ptr = jnp.where(active0, 1, 0).astype(jnp.int32)
-    best = HitInfo.none((n,))
+    best = HitInfo.none_like(ray.o.x)
 
     def cond(state):
         it, ptr, stack, best = state

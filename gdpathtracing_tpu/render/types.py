@@ -50,6 +50,16 @@ class HitInfo(NamedTuple):
                    tri=zi, inst=zi, u=z, v=z,
                    front=jnp.zeros(shape, dtype=bool), steps=zi)
 
+    @classmethod
+    def none_like(cls, ref: jnp.ndarray) -> "HitInfo":
+        """Miss record derived arithmetically from `ref` so it inherits
+        ref's varying-axes type — required for loop carries under
+        shard_map (constants would be replicated-typed and mismatch)."""
+        z = ref * 0.0
+        zi = z.astype(jnp.int32)
+        return cls(t=z + MISS_T, tri=zi, inst=zi, u=z, v=z,
+                   front=zi.astype(bool), steps=zi)
+
     @property
     def hit(self) -> jnp.ndarray:
         return self.t < MISS_T

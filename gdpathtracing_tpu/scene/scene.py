@@ -80,6 +80,19 @@ class Scene:
     mat_roughness: jnp.ndarray
     mat_tex: jnp.ndarray
     textures: jnp.ndarray
+    # Unit-triangle-space intersection arrays over the instance-EXPANDED
+    # world-space triangle list (E = Σ instance tri counts). Each expanded
+    # triangle e carries an affine map world→(u, v, w) with w=0 on the
+    # triangle plane; a ray hit reduces to two (N,4)x(4,E) matmuls + an
+    # elementwise epilogue — the MXU/VPU-native intersection path (no
+    # reference counterpart; designed for TPU per SURVEY.md §7 step 4).
+    # isect_mu/mv/mw: (4, E) f32 — columns [r_x, r_y, r_z, c] so that
+    #   u_o = (o,1)·col, u_d = (d,0)·col, etc.
+    isect_mu: jnp.ndarray
+    isect_mv: jnp.ndarray
+    isect_mw: jnp.ndarray
+    isect_inst: jnp.ndarray  # (E,) i32 instance of expanded triangle
+    isect_tri: jnp.ndarray   # (E,) i32 global-pool triangle index
     # Static per-instance triangle ranges (tuples → hashable jit statics);
     # used by the brute-force oracle backend.
     inst_tri_first: tuple = dataclasses.field(
@@ -110,6 +123,58 @@ class _Instance:
     mesh_id: int
     transform: np.ndarray  # (3, 4)
     material_ids: List[int]
+
+
+def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
+                        inst_ranges: dict, pad_to: int = 512):
+    """Expand instances into world space and build per-triangle affine
+    world→(u, v, w) maps (Woop-style unit-triangle space).
+
+    For triangle (w0, e1, e2) with n = e1×e2: M = [e1 e2 n] (columns),
+    p = w0 + M·(u, v, w) ⇒ (u, v, w) = M⁻¹(p - w0). A ray (o, d) then hits
+    at t = -w_o/w_d with barycentrics (u_o + t·u_d, v_o + t·v_d).
+    Degenerate triangles get zero columns (⇒ w_d = 0 ⇒ rejected).
+
+    E is padded to a multiple of `pad_to` with zero columns so kernels can
+    assume whole chunks; padding maps to inst/tri index 0 but can never
+    report a hit.
+    """
+    mats, insts, tris = [], [], []
+    for inst, (first, count) in sorted(inst_ranges.items()):
+        tf = inst_transform[inst]
+        pos = tri_pos[first:first + count]  # (c, 3, 3) object space
+        world = pos @ tf[:, :3].T + tf[:, 3]
+        w0 = world[:, 0]
+        e1 = world[:, 1] - w0
+        e2 = world[:, 2] - w0
+        n = np.cross(e1, e2)
+        m = np.stack([e1, e2, n], axis=-1)  # (c, 3, 3) columns
+        det = np.linalg.det(m)
+        ok = np.abs(det) > 1e-18
+        m_safe = np.where(ok[:, None, None], m, np.eye(3, dtype=np.float32))
+        minv = np.linalg.inv(m_safe).astype(np.float32)
+        minv = np.where(ok[:, None, None], minv, 0.0).astype(np.float32)
+        c = -np.einsum("cij,cj->ci", minv, w0).astype(np.float32)
+        cols = np.concatenate([minv, c[:, :, None]], axis=2)  # (c, 3, 4)
+        mats.append(cols)
+        insts.append(np.full(count, inst, dtype=np.int32))
+        tris.append(np.arange(first, first + count, dtype=np.int32))
+    cols = np.concatenate(mats, axis=0)  # (E, 3, 4)
+    inst_ids = np.concatenate(insts)
+    tri_ids = np.concatenate(tris)
+    e = len(cols)
+    e_pad = -(-e // pad_to) * pad_to
+    if e_pad != e:
+        cols = np.concatenate(
+            [cols, np.zeros((e_pad - e, 3, 4), np.float32)], axis=0)
+        inst_ids = np.concatenate(
+            [inst_ids, np.zeros(e_pad - e, np.int32)])
+        tri_ids = np.concatenate([tri_ids, np.zeros(e_pad - e, np.int32)])
+    # (4, E) per component: columns [r_x, r_y, r_z, c]
+    mu = cols[:, 0, :].T.astype(np.float32).copy()
+    mv = cols[:, 1, :].T.astype(np.float32).copy()
+    mw = cols[:, 2, :].T.astype(np.float32).copy()
+    return mu, mv, mw, inst_ids, tri_ids
 
 
 class SceneBuilder:
@@ -241,6 +306,12 @@ class SceneBuilder:
             textures = [np.ones((1, 1, 3), dtype=np.float32)]
         tex_array = np.stack(textures, axis=0)
 
+        # Instance-expanded unit-triangle-space intersection matrices.
+        isect_mu, isect_mv, isect_mw, isect_inst, isect_tri = \
+            _build_isect_arrays(blas.tri_pos, inst_transform,
+                                {k: tri_range[i.mesh_id]
+                                 for k, i in enumerate(self._instances)})
+
         return Scene(
             tri_pos=jnp.asarray(blas.tri_pos),
             tri_normal=jnp.asarray(blas.tri_normal),
@@ -268,6 +339,11 @@ class SceneBuilder:
             mat_roughness=jnp.asarray(mat_rough),
             mat_tex=jnp.asarray(mat_tex),
             textures=jnp.asarray(tex_array),
+            isect_mu=jnp.asarray(isect_mu),
+            isect_mv=jnp.asarray(isect_mv),
+            isect_mw=jnp.asarray(isect_mw),
+            isect_inst=jnp.asarray(isect_inst),
+            isect_tri=jnp.asarray(isect_tri),
             inst_tri_first=tuple(int(tri_range[i.mesh_id][0])
                                  for i in self._instances),
             inst_tri_count=tuple(int(tri_range[i.mesh_id][1])

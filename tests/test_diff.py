@@ -1,0 +1,118 @@
+"""Differentiable rendering (SURVEY.md §4e): finite-difference checks for
+albedo/emission gradients (interior derivatives — exact), smoke checks for
+vertex and camera gradients (silhouette bias expected, finiteness +
+nonzeroness asserted)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.config import Jitter, RenderConfig, Traversal
+from gdpathtracing_tpu.diff.inverse import (render_loss, replace_albedo,
+                                            replace_camera_transform,
+                                            replace_emission,
+                                            replace_vertices)
+from gdpathtracing_tpu.render.renderer import render_radiance
+from gdpathtracing_tpu.scene.demo import build_cornell_simple, demo_camera
+
+CFG = RenderConfig(bounces=2, spp=1, traversal=Traversal.BRUTE,
+                   jitter=Jitter.NONE)
+RES = 24
+
+
+def _mean_radiance(scene, cam):
+    return jnp.mean(render_radiance(scene, cam, CFG, 0).radiance)
+
+
+def test_albedo_gradient_matches_fd():
+    scene = build_cornell_simple()
+    cam = demo_camera(RES, RES)
+    albedo0 = scene.mat_albedo
+
+    def f(albedo):
+        return _mean_radiance(replace_albedo(scene, albedo), cam)
+
+    g = jax.grad(f)(albedo0)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+
+    # Central differences on a few components with nonzero gradient.
+    eps = 1e-3
+    checked = 0
+    mats = np.argsort(-np.abs(g).sum(axis=1))[:3]
+    for m in mats:
+        for c in range(3):
+            if abs(g[m, c]) < 1e-5:
+                continue
+            ap = albedo0.at[m, c].add(eps)
+            am = albedo0.at[m, c].add(-eps)
+            fd = (float(f(ap)) - float(f(am))) / (2 * eps)
+            rel = abs(fd - g[m, c]) / max(abs(fd), abs(g[m, c]), 1e-8)
+            # Sampling is detached & seeds fixed → paths identical across
+            # FD evals except lobe-pick flips; tolerate small residual.
+            assert rel < 0.05, (m, c, fd, g[m, c])
+            checked += 1
+    assert checked >= 3
+
+
+def test_emission_gradient_matches_fd():
+    scene = build_cornell_simple()
+    cam = demo_camera(RES, RES)
+    em0 = scene.mat_emission
+
+    def f(em):
+        return _mean_radiance(replace_emission(scene, em), cam)
+
+    g = np.asarray(jax.grad(f)(em0))
+    assert np.isfinite(g).all()
+    m = int(np.argmax(np.abs(g).sum(axis=1)))
+    eps = 1e-2
+    fd = (float(f(em0.at[m, 0].add(eps))) -
+          float(f(em0.at[m, 0].add(-eps)))) / (2 * eps)
+    # Radiance is LINEAR in emission given fixed paths → FD is exact.
+    rel = abs(fd - g[m, 0]) / max(abs(fd), 1e-8)
+    assert rel < 1e-2, (fd, g[m, 0])
+
+
+def test_vertex_and_camera_gradients_finite():
+    # Vertex gradients need a smooth dependence of radiance on position:
+    # the flat-shaded box has none (normals constant per face, visibility
+    # discrete), but the demo spheres' interpolated normals vary with the
+    # barycentrics, which vary with the vertices.
+    from gdpathtracing_tpu.scene.demo import build_demo_scene
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=4)
+    cam = demo_camera(16, 16)
+
+    g_v = jax.grad(
+        lambda tp: _mean_radiance(replace_vertices(scene, tp), cam)
+    )(scene.tri_pos)
+    g_v = np.asarray(g_v)
+    assert np.isfinite(g_v).all()
+    assert np.abs(g_v).max() > 0.0  # geometry influences radiance
+    scene = build_cornell_simple()
+
+    g_c = jax.grad(
+        lambda tf: _mean_radiance(scene, replace_camera_transform(cam, tf))
+    )(cam.transform)
+    g_c = np.asarray(g_c)
+    assert np.isfinite(g_c).all()
+    assert np.abs(g_c).max() > 0.0
+
+
+def test_render_loss_and_optimization_step_decreases():
+    """One SGD step on albedo against a darker target must reduce the loss
+    (inverse-rendering smoke, BASELINE config 4)."""
+    scene = build_cornell_simple()
+    cam = demo_camera(16, 16)
+    target = np.asarray(render_radiance(scene, cam, CFG, 0).radiance) * 0.5
+    target = jnp.asarray(target)
+
+    def loss(albedo):
+        return render_loss(albedo, replace_albedo, scene, cam, CFG, target)
+
+    l0, g = jax.value_and_grad(loss)(scene.mat_albedo)
+    albedo1 = scene.mat_albedo - 0.5 * g
+    l1 = loss(albedo1)
+    assert float(l1) < float(l0)

@@ -109,3 +109,41 @@ def test_bvh_active_mask():
     active = jnp.zeros(64, dtype=bool)
     hit = trace_bvh(scene, ray, active=active)
     assert (np.asarray(hit.t) >= 1e8).all()
+
+
+def test_unit_matches_brute_oracle():
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    ray = _random_rays(512, seed=3)
+    from gdpathtracing_tpu.render.intersect import trace_unit
+    brute = trace_brute(scene, ray)
+    unit = trace_unit(scene, ray)
+    bt, ut = np.asarray(brute.t), np.asarray(unit.t)
+    hit_b, hit_u = bt < 1e8, ut < 1e8
+    agree = hit_b == hit_u
+    assert agree.mean() > 0.998, f"hit mismatch {np.sum(~agree)}"
+    both = hit_b & hit_u
+    assert np.allclose(bt[both], ut[both], rtol=1e-3, atol=1e-3)
+    clear = both & (np.abs(bt - ut) < 1e-4)
+    assert (np.asarray(brute.inst)[clear] == np.asarray(unit.inst)[clear]).mean() > 0.999
+    assert (np.asarray(brute.tri)[clear] == np.asarray(unit.tri)[clear]).mean() > 0.999
+    # barycentrics and front flags agree on clear hits
+    assert np.allclose(np.asarray(brute.u)[clear], np.asarray(unit.u)[clear],
+                       atol=2e-3)
+    assert (np.asarray(brute.front)[clear] == np.asarray(unit.front)[clear]).mean() > 0.999
+
+
+def test_pallas_interpret_matches_brute_oracle():
+    from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    ray = _random_rays(300, seed=5)
+    brute = trace_brute(scene, ray)
+    pal = trace_pallas(scene, ray, interpret=True)
+    bt, pt = np.asarray(brute.t), np.asarray(pal.t)
+    assert ((bt < 1e8) == (pt < 1e8)).mean() > 0.998
+    both = (bt < 1e8) & (pt < 1e8)
+    assert np.allclose(bt[both], pt[both], rtol=1e-3, atol=1e-3)
+    clear = both & (np.abs(bt - pt) < 1e-4)
+    assert (np.asarray(brute.tri)[clear] == np.asarray(pal.tri)[clear]).mean() > 0.999
+    assert np.allclose(np.asarray(brute.u)[clear], np.asarray(pal.u)[clear],
+                       atol=2e-3)
+    assert (np.asarray(brute.front)[clear] == np.asarray(pal.front)[clear]).mean() > 0.999
