@@ -1,10 +1,12 @@
 from gdpathtracing_tpu.diff.inverse import (image_mse, render_loss,
+                                            unbiased_mse_value_and_grad,
                                             value_and_grad_step,
                                             replace_albedo, replace_emission,
                                             replace_vertices,
                                             replace_camera_transform)
 
 __all__ = [
-    "image_mse", "render_loss", "value_and_grad_step", "replace_albedo",
-    "replace_emission", "replace_vertices", "replace_camera_transform",
+    "image_mse", "render_loss", "unbiased_mse_value_and_grad",
+    "value_and_grad_step", "replace_albedo", "replace_emission",
+    "replace_vertices", "replace_camera_transform",
 ]

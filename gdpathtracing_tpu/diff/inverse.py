@@ -74,6 +74,30 @@ def render_loss(params, apply_scene: Callable[[Scene, object], Scene],
     return image_mse(aovs.radiance, target)
 
 
+def unbiased_mse_value_and_grad(params, apply_scene, base_scene: Scene,
+                                camera: Camera, config: RenderConfig,
+                                target: jnp.ndarray, frame_a, frame_b):
+    """Decorrelated MSE gradient — the unbiased estimator for Monte-Carlo
+    inverse rendering.
+
+    With a single sample set, ∇E[(X−T)²] picks up E[(X−E[X])∇X] — a
+    variance-reduction term that drags parameters toward low-variance (not
+    correct) configurations. Using independent seeds for the residual
+    (frame_a) and the differentiated render (frame_b) removes it:
+    grad = (2/N)·⟨X_a − T, ∇X_b⟩, E[grad] = ∇‖E[X]−T‖².
+    """
+    def render_fn(p, frame):
+        scene = apply_scene(base_scene, p)
+        return render_radiance(scene, camera, config, frame).radiance
+
+    x_a = jax.lax.stop_gradient(render_fn(params, frame_a))
+    residual = 2.0 * (x_a - target) / x_a.size
+    _, vjp = jax.vjp(lambda p: render_fn(p, frame_b), params)
+    (grad,) = vjp(residual)
+    loss = jnp.mean((x_a - target) ** 2)
+    return loss, grad
+
+
 def value_and_grad_step(apply_scene, config: RenderConfig,
                         apply_camera=None):
     """Returns a jittable fn(params, base_scene, camera, target,

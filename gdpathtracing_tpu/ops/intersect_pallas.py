@@ -30,7 +30,8 @@ _WD_EPS = 1e-12
 _MISS = 1e9  # python float: jnp constants would be captured by the kernel
 
 
-def _kernel(o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, t_ref, idx_ref):
+def _kernel(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref,
+            t_ref, idx_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -41,68 +42,93 @@ def _kernel(o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, t_ref, idx_ref):
 
     o4 = o4_ref[...]  # (4, BN)
     d4 = d4_ref[...]
-    mu = mu_ref[...]  # (4, BT)
-    mv = mv_ref[...]
-    mw = mw_ref[...]
-
-    def mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
-    u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
-
-    wd_ok = jnp.abs(w_d) > _WD_EPS
-    inv_wd = jnp.where(wd_ok, w_d, 1.0)
-    t = -w_o / inv_wd
-    u = u_o + t * u_d
-    v = v_o + t * v_d
-    valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-    t = jnp.where(valid, t, _MISS)
-
-    tk = jnp.min(t, axis=1)                      # (BN,)
-    k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
-
     cur = t_ref[i, :]
-    better = tk < cur
-    t_ref[i, :] = jnp.where(better, tk, cur)
-    idx_ref[i, :] = jnp.where(better, j * BT + k, idx_ref[i, :])
+
+    # Chunk culling: slab-test every ray in the block against this chunk's
+    # AABB (~25 ops on (BN,) vs ~20 ops on (BN, BT) for the full sweep).
+    # Chunks are Morton-compact, so most (ray-block × chunk) tiles skip.
+    # Bounds come in as a scalar-prefetch arg (SMEM): 6 scalars per chunk.
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
+    rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
+    rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
+    base = j * 8
+    tx1 = (chunk_ref[base + 0] - ox) * rdx
+    tx2 = (chunk_ref[base + 3] - ox) * rdx
+    ty1 = (chunk_ref[base + 1] - oy) * rdy
+    ty2 = (chunk_ref[base + 4] - oy) * rdy
+    tz1 = (chunk_ref[base + 2] - oz) * rdz
+    tz2 = (chunk_ref[base + 5] - oz) * rdz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+
+    @pl.when(jnp.any(may_hit))
+    def _():
+        mu = mu_ref[...]  # (4, BT)
+        mv = mv_ref[...]
+        mw = mw_ref[...]
+
+        def mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        t = jnp.where(valid, t, _MISS)
+
+        tk = jnp.min(t, axis=1)                      # (BN,)
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
+
+        better = tk < cur
+        t_ref[i, :] = jnp.where(better, tk, cur)
+        idx_ref[i, :] = jnp.where(better, j * BT + k, idx_ref[i, :])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_hit(o4t, d4t, mu, mv, mw, interpret=False):
-    """o4t/d4t: (4, N); mu/mv/mw: (4, E). N % BN == 0, E % BT == 0.
-    Returns (t, idx, u, v, front_i32) each (N,)."""
+def _closest_hit(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
+    """o4t/d4t: (4, N); chunk_bounds: (8, E//BT); mu/mv/mw: (4, E).
+    N % BN == 0, E % BT == 0. Returns (t, idx) each (N,)."""
     n = o4t.shape[1]
     e = mu.shape[1]
     grid = (n // BN, e // BT)
     gr = grid[0]
 
-    out = pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # chunk bounds → SMEM
         grid=grid,
         in_specs=[
-            pl.BlockSpec((4, BN), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BN), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BT), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BT), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, BT), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
         ],
         out_specs=[
             # Full-array blocks (TPU blocks need sublane multiples of 8;
             # a (1, BN) row block is not lowerable). The whole output stays
             # VMEM-resident; each grid step writes its own row i.
-            pl.BlockSpec((gr, BN), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))
             for _ in range(2)
         ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((gr, BN), jnp.float32),
             jax.ShapeDtypeStruct((gr, BN), jnp.int32),
@@ -113,7 +139,7 @@ def _closest_hit(o4t, d4t, mu, mv, mw, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(o4t, d4t, mu, mv, mw)
+    )(chunk_bounds.T.reshape(-1), o4t, d4t, mu, mv, mw)
     t, idx = (a.reshape(-1) for a in out)
     return t, idx
 
@@ -124,16 +150,30 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
 
+    ox, oy, oz = ray.o.x, ray.o.y, ray.o.z
+    dx, dy, dz = ray.d.x, ray.d.y, ray.d.z
+    if active is not None:
+        # Park dead rays far outside the scene pointing away — every chunk
+        # slab test fails, so whole tiles of terminated paths are skipped.
+        far, s3 = 1e9, 0.5773503
+        ox = jnp.where(active, ox, far)
+        oy = jnp.where(active, oy, far)
+        oz = jnp.where(active, oz, far)
+        dx = jnp.where(active, dx, s3)
+        dy = jnp.where(active, dy, s3)
+        dz = jnp.where(active, dz, s3)
+
     def pad(x, value=0.0):
         return jnp.pad(x, (0, n_pad - n), constant_values=value)
 
-    o4t = jnp.stack([pad(ray.o.x), pad(ray.o.y), pad(ray.o.z),
-                     pad(ray.o.x * 0 + 1.0)], axis=0)
-    d4t = jnp.stack([pad(ray.d.x), pad(ray.d.y), pad(ray.d.z),
-                     pad(ray.d.x * 0)], axis=0)
+    o4t = jnp.stack([pad(ox, 1e9), pad(oy, 1e9), pad(oz, 1e9),
+                     pad(ox * 0 + 1.0)], axis=0)
+    d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
+                     pad(dx * 0)], axis=0)
 
     t, idx = _closest_hit(
-        o4t, d4t, scene.isect_mu, scene.isect_mv, scene.isect_mw,
+        o4t, d4t, scene.isect_chunk_bounds,
+        scene.isect_mu, scene.isect_mv, scene.isect_mw,
         interpret=interpret)
     t, idx = t[:n], idx[:n]
 

@@ -140,6 +140,7 @@ def trace_unit(scene: Scene, ray: Ray, active=None,
     """
     n = ray.o.x.shape[0]
     e = scene.isect_mu.shape[1]
+    chunk = min(chunk, e)
     n_chunks = e // chunk if e % chunk == 0 else -(-e // chunk)
 
     o4 = jnp.stack([ray.o.x, ray.o.y, ray.o.z,

@@ -93,11 +93,20 @@ class Scene:
     isect_mw: jnp.ndarray
     isect_inst: jnp.ndarray  # (E,) i32 instance of expanded triangle
     isect_tri: jnp.ndarray   # (E,) i32 global-pool triangle index
+    # Expanded triangles are Morton-sorted; per 256-triangle chunk AABBs
+    # ((8, C): rows 0-2 min, 3-5 max, 6-7 padding) let the Pallas kernel
+    # skip whole (ray-block × chunk) tiles — the TPU-shaped analog of BVH
+    # culling (a "chunked LBVH" of depth 1).
+    isect_chunk_bounds: jnp.ndarray
     # Static per-instance triangle ranges (tuples → hashable jit statics);
     # used by the brute-force oracle backend.
     inst_tri_first: tuple = dataclasses.field(
         metadata=dict(static=True), default=())
     inst_tri_count: tuple = dataclasses.field(
+        metadata=dict(static=True), default=())
+    # Static TLAS refit schedule: internal node ids in children-first
+    # order (scene/dynamic.py refits AABBs on device with it).
+    tlas_refit_order: tuple = dataclasses.field(
         metadata=dict(static=True), default=())
 
     @property
@@ -125,8 +134,24 @@ class _Instance:
     material_ids: List[int]
 
 
+ISECT_CHUNK = 256  # must match ops/intersect_pallas.py BT
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """(n, 3) uint in [0, 1024) → interleaved 30-bit Morton codes."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x30000FF)
+        v = (v | (v << 8)) & np.uint64(0x300F00F)
+        v = (v | (v << 4)) & np.uint64(0x30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x9249249)
+        return v
+    return (spread(x[:, 0]) | (spread(x[:, 1]) << np.uint64(1))
+            | (spread(x[:, 2]) << np.uint64(2)))
+
+
 def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
-                        inst_ranges: dict, pad_to: int = 512):
+                        inst_ranges: dict, pad_to: int = ISECT_CHUNK):
     """Expand instances into world space and build per-triangle affine
     world→(u, v, w) maps (Woop-style unit-triangle space).
 
@@ -140,10 +165,12 @@ def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
     report a hit.
     """
     mats, insts, tris = [], [], []
+    worlds = []
     for inst, (first, count) in sorted(inst_ranges.items()):
         tf = inst_transform[inst]
         pos = tri_pos[first:first + count]  # (c, 3, 3) object space
         world = pos @ tf[:, :3].T + tf[:, 3]
+        worlds.append(world)
         w0 = world[:, 0]
         e1 = world[:, 1] - w0
         e2 = world[:, 2] - w0
@@ -162,6 +189,18 @@ def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
     cols = np.concatenate(mats, axis=0)  # (E, 3, 4)
     inst_ids = np.concatenate(insts)
     tri_ids = np.concatenate(tris)
+    world = np.concatenate(worlds, axis=0)  # (E, 3, 3)
+
+    # Morton-sort by world centroid: spatially-coherent chunks → tight
+    # chunk AABBs → effective per-chunk culling in the kernel.
+    cent = world.mean(axis=1)
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    q = np.clip(((cent - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q), kind="stable")
+    cols, inst_ids, tri_ids = cols[order], inst_ids[order], tri_ids[order]
+    world = world[order]
+
     e = len(cols)
     e_pad = -(-e // pad_to) * pad_to
     if e_pad != e:
@@ -170,11 +209,25 @@ def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
         inst_ids = np.concatenate(
             [inst_ids, np.zeros(e_pad - e, np.int32)])
         tri_ids = np.concatenate([tri_ids, np.zeros(e_pad - e, np.int32)])
+        # Padding gets point-degenerate bounds inside the last real chunk
+        # so it never widens a chunk AABB.
+        pad_pt = world[-1, :1]
+        world = np.concatenate(
+            [world, np.tile(pad_pt[None], (e_pad - e, 3, 1))], axis=0)
+
+    n_chunks = e_pad // pad_to
+    wc = world.reshape(n_chunks, pad_to, 3, 3)
+    chunk_min = wc.reshape(n_chunks, -1, 3).min(axis=1)
+    chunk_max = wc.reshape(n_chunks, -1, 3).max(axis=1)
+    chunk_bounds = np.zeros((8, n_chunks), np.float32)
+    chunk_bounds[0:3] = chunk_min.T
+    chunk_bounds[3:6] = chunk_max.T
+
     # (4, E) per component: columns [r_x, r_y, r_z, c]
     mu = cols[:, 0, :].T.astype(np.float32).copy()
     mv = cols[:, 1, :].T.astype(np.float32).copy()
     mw = cols[:, 2, :].T.astype(np.float32).copy()
-    return mu, mv, mw, inst_ids, tri_ids
+    return mu, mv, mw, inst_ids, tri_ids, chunk_bounds
 
 
 class SceneBuilder:
@@ -307,10 +360,10 @@ class SceneBuilder:
         tex_array = np.stack(textures, axis=0)
 
         # Instance-expanded unit-triangle-space intersection matrices.
-        isect_mu, isect_mv, isect_mw, isect_inst, isect_tri = \
-            _build_isect_arrays(blas.tri_pos, inst_transform,
-                                {k: tri_range[i.mesh_id]
-                                 for k, i in enumerate(self._instances)})
+        (isect_mu, isect_mv, isect_mw, isect_inst, isect_tri,
+         isect_chunk_bounds) = _build_isect_arrays(
+            blas.tri_pos, inst_transform,
+            {k: tri_range[i.mesh_id] for k, i in enumerate(self._instances)})
 
         return Scene(
             tri_pos=jnp.asarray(blas.tri_pos),
@@ -344,8 +397,30 @@ class SceneBuilder:
             isect_mw=jnp.asarray(isect_mw),
             isect_inst=jnp.asarray(isect_inst),
             isect_tri=jnp.asarray(isect_tri),
+            isect_chunk_bounds=jnp.asarray(isect_chunk_bounds),
             inst_tri_first=tuple(int(tri_range[i.mesh_id][0])
                                  for i in self._instances),
             inst_tri_count=tuple(int(tri_range[i.mesh_id][1])
                                  for i in self._instances),
+            tlas_refit_order=_tlas_postorder(tlas),
         )
+
+
+def _tlas_postorder(tlas) -> tuple:
+    """Children-first order of internal TLAS nodes (slot-0 root copy
+    last), for device-side AABB refit."""
+    order = []
+
+    def walk(i: int):
+        if tlas.node_left[i] == 0:
+            return
+        walk(int(tlas.node_left[i]))
+        walk(int(tlas.node_right[i]))
+        order.append(i)
+
+    # Node 0 duplicates the true root; find it via node 0's children.
+    if tlas.node_left[0] != 0:
+        walk(int(tlas.node_left[0]))
+        walk(int(tlas.node_right[0]))
+        order.append(0)
+    return tuple(order)

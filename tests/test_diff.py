@@ -116,3 +116,43 @@ def test_render_loss_and_optimization_step_decreases():
     albedo1 = scene.mat_albedo - 0.5 * g
     l1 = loss(albedo1)
     assert float(l1) < float(l0)
+
+
+def test_unbiased_mse_grad_converges_from_perturbation():
+    """Decorrelated-gradient inverse rendering: starting near the truth,
+    Adam must reduce albedo error on well-observed materials (a correlated
+    single-sample MSE gradient provably diverges here — the estimator-
+    variance term; see diff/inverse.py)."""
+    import optax
+    from gdpathtracing_tpu.diff.inverse import unbiased_mse_value_and_grad
+
+    cfg = RenderConfig(bounces=2, spp=4, traversal=Traversal.UNIT,
+                       jitter=Jitter.NONE)
+    scene = build_cornell_simple()
+    cam = demo_camera(32, 32)
+    target = render_radiance(scene, cam, cfg.replace(spp=32), 0).radiance
+    truth = scene.mat_albedo
+    key = jax.random.PRNGKey(1)
+    init = jnp.clip(truth + jax.random.uniform(key, truth.shape,
+                                               minval=-0.1, maxval=0.1),
+                    0.05, 1.0)
+    opt = optax.adam(0.01)
+
+    @jax.jit
+    def step(albedo, s, i):
+        loss, g = unbiased_mse_value_and_grad(
+            albedo, replace_albedo, scene, cam, cfg, target,
+            500 + 2 * i, 501 + 2 * i)
+        up, s = opt.update(g, s)
+        return jnp.clip(jax.tree_util.tree_map(lambda a, b: a + b, albedo, up),
+                        0.0, 1.0), s, loss
+
+    a, s = init, opt.init(init)
+    for i in range(60):
+        a, s, _ = step(a, s, i)
+    err0 = np.abs(np.asarray(init - truth))
+    err1 = np.abs(np.asarray(a - truth))
+    # Green wall (index 4) is large in frame → must improve; and nothing
+    # may blow up the way the correlated estimator does (≥0.5 drift).
+    assert err1[4].max() < err0[4].max()
+    assert err1.max() < 0.3, err1.max(axis=1)
