@@ -48,9 +48,15 @@ def cmd_render(args) -> None:
         from gdpathtracing_tpu.scene.sceneformat import load_scene_file
         scene, camera = load_scene_file(args.scene, width=args.width,
                                         height=args.height)
+    from gdpathtracing_tpu.config import Tonemap
     config = RenderConfig(bounces=args.bounces, spp=args.spp,
                           traversal=Traversal(args.traversal),
-                          denoising=DenoisingMode(args.denoising))
+                          denoising=DenoisingMode(args.denoising),
+                          nee=args.nee,
+                          spatial_denoise=args.spatial_denoise,
+                          tonemap=Tonemap(args.tonemap),
+                          exposure=args.exposure,
+                          bloom=args.bloom)
     engine = Engine(scene, config)
     t0 = time.time()
     image = engine.step(camera)
@@ -104,6 +110,14 @@ def main(argv=None) -> None:
                    choices=["pallas", "unit", "brute", "bvh"])
     r.add_argument("--denoising", default="progressive",
                    choices=["progressive", "temporal", "none"])
+    r.add_argument("--nee", action="store_true",
+                   help="next-event estimation + MIS (lower variance)")
+    r.add_argument("--spatial-denoise", action="store_true",
+                   help="edge-aware a-trous filter on the output")
+    r.add_argument("--tonemap", default="aces",
+                   choices=["aces", "reinhard", "linear"])
+    r.add_argument("--exposure", type=float, default=1.0)
+    r.add_argument("--bloom", action="store_true")
     r.set_defaults(fn=cmd_render)
 
     i = sub.add_parser("info", help="print scene statistics")

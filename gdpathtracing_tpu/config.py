@@ -32,6 +32,15 @@ class Traversal(enum.Enum):
     PALLAS = "pallas"  # fused Pallas TPU kernel (unit-triangle space)
 
 
+class Tonemap(enum.Enum):
+    """Display operator — the reference hard-codes ACES
+    (progressive_rendering.glsl:19-26)."""
+
+    ACES = "aces"
+    REINHARD = "reinhard"
+    LINEAR = "linear"
+
+
 class Jitter(enum.Enum):
     NONE = "none"
     UNIFORM = "uniform"   # uniform in [-0.5, 0.5]^2 around the pixel center
@@ -52,6 +61,9 @@ class RenderConfig:
     bounces: int = 5          # reference hard-codes 5 (main.glsl:377)
     spp: int = 1              # samples/pixel/frame (reference: 1, main.glsl:405)
     ray_eps: float = 1e-3     # hit-point normal offset (main.glsl:385)
+    nee: bool = False         # next-event estimation + MIS (beyond the
+    #                           reference, whose transport is BRDF-sampling
+    #                           only — README wishlist item)
     traversal: Traversal = Traversal.BVH
     jitter: Jitter = Jitter.UNIFORM
     max_stack: int = 64       # traversal stack depth (main.glsl:272,307)
@@ -59,6 +71,17 @@ class RenderConfig:
     temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
     temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
     denoising: DenoisingMode = DenoisingMode.PROGRESSIVE
+    # Spatial edge-aware denoiser (post/denoise.py), applied to the linear
+    # image before the display transform:
+    spatial_denoise: bool = False
+    denoise_iterations: int = 3
+    # Display transform (post/display.py):
+    tonemap: Tonemap = Tonemap.ACES
+    exposure: float = 1.0
+    bloom: bool = False
+    bloom_threshold: float = 1.0
+    bloom_strength: float = 0.15
+    bloom_radius: int = 8
     # Sky gradient endpoints (main.glsl:189-192).
     sky_horizon: tuple[float, float, float] = (0.95, 0.95, 0.95)
     sky_zenith: tuple[float, float, float] = (0.9, 0.94, 1.0)

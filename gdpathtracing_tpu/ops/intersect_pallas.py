@@ -204,4 +204,4 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     steps = (ray.o.x * 0.0).astype(jnp.int32) + scene.isect_mu.shape[1]
     return HitInfo(t=t, tri=tri, inst=inst,
                    u=jnp.clip(u, 0.0, 1.0), v=jnp.clip(v, 0.0, 1.0),
-                   front=front, steps=steps)
+                   front=front, steps=steps, eidx=idx)

@@ -61,6 +61,7 @@ def _trace_pixels(scene: Scene, camera: Camera, pids: jnp.ndarray,
     depth = None
     steps = jnp.zeros(n, jnp.int32)
     segments = jnp.zeros(n, jnp.int32)
+    normal = None
     for s in range(config.spp):
         seed = rng.prng_seed(px, py,
                              jnp.uint32(frame_index) * jnp.uint32(config.spp)
@@ -72,9 +73,11 @@ def _trace_pixels(scene: Scene, camera: Camera, pids: jnp.ndarray,
         depth = res.depth if depth is None else jnp.minimum(depth, res.depth)
         steps = steps + res.steps
         segments = segments + res.segments
+        if normal is None:
+            normal = res.normal.to_array()
     inv = 1.0 / config.spp
     rgb = jnp.stack([a * inv for a in acc], axis=-1)
-    return rgb, depth, steps, segments
+    return rgb, depth, steps, segments, normal
 
 
 def render_radiance_sharded(scene: Scene, camera: Camera,
@@ -96,24 +99,26 @@ def render_radiance_sharded(scene: Scene, camera: Camera,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(AXIS), P()),
-             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
+             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
     def step(scene, camera, pids, frame_index):
         return _trace_pixels(scene, camera, pids, frame_index, config)
 
     # Strided layout: reshape (per_chip, n_chips) -> transpose so the
     # sharded leading axis interleaves pixels across chips.
     ids_strided = flat_ids.reshape(per_chip, n_chips).T.reshape(padded)
-    rgb, depth, steps, segments = step(scene, camera, ids_strided,
-                                       jnp.asarray(frame_index, jnp.uint32))
-    # Undo the interleave.
-    inv_rgb = rgb.reshape(n_chips, per_chip, 3).transpose(1, 0, 2).reshape(padded, 3)
+    rgb, depth, steps, segments, normal = step(
+        scene, camera, ids_strided, jnp.asarray(frame_index, jnp.uint32))
+
+    def deinterleave3(a):
+        return a.reshape(n_chips, per_chip, 3).transpose(1, 0, 2).reshape(padded, 3)
 
     def deinterleave(a):
         return a.reshape(n_chips, per_chip).T.reshape(padded)
 
     return FrameAOVs(
-        radiance=inv_rgb[:n_pix].reshape(h, w, 3),
+        radiance=deinterleave3(rgb)[:n_pix].reshape(h, w, 3),
         depth=deinterleave(depth)[:n_pix].reshape(h, w),
         steps=deinterleave(steps)[:n_pix].reshape(h, w),
         segments=deinterleave(segments)[:n_pix].reshape(h, w),
+        normal=deinterleave3(normal)[:n_pix].reshape(h, w, 3),
     )

@@ -36,11 +36,12 @@ def progressive_init(width: int, height: int) -> ProgressiveState:
 
 def progressive_update(state: ProgressiveState, radiance: jnp.ndarray,
                        cam_transform: jnp.ndarray, eps: float = 1e-5):
-    """Returns (tonemapped (H,W,3) in [0,1], new state). Camera motion
+    """Returns (LINEAR averaged radiance (H,W,3), new state). Camera motion
     resets the accumulator (the is_equal_approx check at
-    progressive_rendering.cpp:53-60)."""
+    progressive_rendering.cpp:53-60). The display transform
+    (exposure/bloom/tonemap) is applied by the caller — post/display.py."""
     moved = jnp.any(jnp.abs(state.prev_transform - cam_transform) > eps)
     count = jnp.where(moved, 1, state.frame_count + 1).astype(jnp.int32)
     accum = jnp.where(moved, radiance, state.accum + radiance)
     avg = accum / count.astype(jnp.float32)
-    return aces_film(avg), ProgressiveState(accum, count, cam_transform)
+    return avg, ProgressiveState(accum, count, cam_transform)

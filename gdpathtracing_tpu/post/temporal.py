@@ -89,4 +89,4 @@ def temporal_update(state: TemporalState, radiance: jnp.ndarray,
         prev_vp=vp,
         frame_count=state.frame_count + 1,
     )
-    return aces_film(blended), new_state
+    return blended, new_state  # linear; display transform is the caller's

@@ -54,36 +54,87 @@ class PathTraceResult(NamedTuple):
     depth: jnp.ndarray      # (N,) linear distance of first hit (far if miss)
     steps: jnp.ndarray      # (N,) triangle tests — DEBUG_STEPS analog
     segments: jnp.ndarray   # (N,) ray segments actually traced (≤ bounces)
+    normal: Vec3            # (N,) first-hit shading normal (0 on miss)
 
 
 def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                trace_fn: TraceFn | None = None,
                far: float = 1000.0) -> PathTraceResult:
     """Trace one path per ray; all rays advance in lockstep through the
-    bounce loop with an `active` mask (main.glsl:372-401)."""
+    bounce loop with an `active` mask (main.glsl:372-401).
+
+    With ``config.nee`` enabled, each bounce adds a direct-light sample
+    (shadow ray toward an emitter) and BRDF/light contributions are
+    combined with the power heuristic — identical expectation to the
+    reference's transport, far lower variance.
+    """
     if trace_fn is None:
         trace_fn = get_trace_fn(config)
     n = ray.o.x.shape[0]
     f32 = jnp.float32
 
+    fast_shading = config.traversal in (Traversal.UNIT, Traversal.PALLAS)
+    use_nee = config.nee and scene.n_lights > 0
+    if use_nee:
+        from gdpathtracing_tpu.render import lights as lights_mod
+        light_table = lights_mod.build_light_table(scene)
+
     def body(i, carry):
         (ray_o, ray_d, throughput, radiance, active, seed, depth, steps,
-         segments) = carry
+         segments, prev_pdf, normal) = carry
         r = Ray(ray_o, ray_d)
         hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
         steps = steps + jnp.where(active, hit.steps, 0)
         segments = segments + active.astype(jnp.int32)
 
-        s = get_shading_data(scene, hit, r)
-        sky = sample_sky(ray_d, config)
+        s = get_shading_data(scene, hit, r, fast=fast_shading)
+        sky = sample_sky(ray_d, config, scene)
         emission = vwhere(is_hit, s.emission, sky)
+        if use_nee:
+            # MIS weight for BRDF-sampled emitter pickup (camera rays and
+            # sky keep weight 1; prev_pdf < 0 marks "not a BRDF sample").
+            pl = lights_mod.light_pdf_of_hit(light_table, scene, hit.inst,
+                                             hit.tri, r.d, hit.t)
+            pb = jnp.maximum(prev_pdf, 0.0)
+            w_mis = jnp.where(
+                (prev_pdf > 0.0) & is_hit & (pl > 0.0),
+                (pb * pb) / jnp.maximum(pb * pb + pl * pl, 1e-20), 1.0)
+            emission = emission * w_mis
         add = throughput * emission
         radiance = vwhere(active, radiance + add, radiance)
 
-        # First-hit distance → depth AOV (main.glsl:382-383).
+        if use_nee:
+            # Direct-light (shadow) sample from this hit.
+            (lr1, lr2), seed = rng.pcg2d(seed)
+            (lr3, _), seed = rng.pcg2d(seed)
+            ls = lights_mod.sample_light(light_table, s.position,
+                                         lr3, lr1, lr2)
+            cos_i = s.normal.dot(ls.wi)
+            shadow_o = s.position + s.normal * config.ray_eps
+            shadow_active = is_hit & (cos_i > 0.0) & \
+                jnp.isfinite(ls.pdf_solid)
+            sh = trace_fn(scene, Ray(shadow_o, ls.wi), shadow_active)
+            unoccluded = ~(sh.t < ls.dist * (1.0 - 1e-3))
+            segments = segments + shadow_active.astype(jnp.int32)
+            f_l = brdf.eval_brdf(s, ls.wi)
+            pb_l = jax.lax.stop_gradient(brdf.brdf_pdf(s, ls.wi))
+            pl_l = jax.lax.stop_gradient(ls.pdf_solid)
+            w_l = (pl_l * pl_l) / jnp.maximum(pl_l * pl_l + pb_l * pb_l,
+                                              1e-20)
+            scale_l = jnp.where(
+                shadow_active & unoccluded & (pl_l > 1e-12)
+                & jnp.isfinite(pl_l),
+                cos_i * w_l / jnp.maximum(pl_l, 1e-12), 0.0)
+            direct = throughput * f_l * ls.emission * scale_l
+            radiance = vwhere(active, radiance + direct, radiance)
+
+        # First-hit distance → depth AOV (main.glsl:382-383) + normal AOV
+        # (denoiser guide).
         dist = (s.position - ray_o).length()
         depth = jnp.where((i == 0) & is_hit, dist, depth)
+        first = (i == 0) & is_hit
+        normal = vwhere(first, s.normal, normal)
 
         # Next segment: detached BRDF sampling.
         (r1, r2), seed = rng.pcg2d(seed)
@@ -104,8 +155,9 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         ray_d = vwhere(survive, new_dir, ray_d)
         throughput = vwhere(survive, new_throughput, throughput)
         active = survive
+        prev_pdf = jnp.where(survive, pdf, -1.0)
         return (ray_o, ray_d, throughput, radiance, active, seed, depth,
-                steps, segments)
+                steps, segments, prev_pdf, normal)
 
     # Carries derive from `ray` arithmetically so they inherit its
     # varying-axes type under shard_map (cf. HitInfo.none_like).
@@ -115,8 +167,8 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     init = (ray.o, ray.d, one3, zero3,
             zero_n.astype(bool) | True, seed,
             zero_n + f32(far), zero_n.astype(jnp.int32),
-            zero_n.astype(jnp.int32))
-    (_, _, _, radiance, _, _, depth, steps, segments) = jax.lax.fori_loop(
-        0, config.bounces, body, init)
+            zero_n.astype(jnp.int32), zero_n - 1.0, zero3)
+    (_, _, _, radiance, _, _, depth, steps, segments, _,
+     normal) = jax.lax.fori_loop(0, config.bounces, body, init)
     return PathTraceResult(radiance=radiance, depth=depth, steps=steps,
-                           segments=segments)
+                           segments=segments, normal=normal)

@@ -116,15 +116,14 @@ def trace_brute(scene: Scene, ray: Ray, active=None,
                 v=upd(v[row, k], best.v),
                 front=jnp.where(better, front[row, k], best.front),
                 steps=best.steps + jnp.sum(tri_ok).astype(jnp.int32),
+                eidx=best.eidx,
             )
             return best, None
 
         best, _ = jax.lax.scan(body, best, jnp.arange(n_blocks))
 
     if active is not None:
-        best = HitInfo(t=jnp.where(active, best.t, MISS_T),
-                       tri=best.tri, inst=best.inst, u=best.u, v=best.v,
-                       front=best.front, steps=best.steps)
+        best = best._replace(t=jnp.where(active, best.t, MISS_T))
     return best
 
 
@@ -201,4 +200,4 @@ def trace_unit(scene: Scene, ray: Ray, active=None,
     if active is not None:
         best_t = jnp.where(active, best_t, MISS_T)
     return HitInfo(t=best_t, tri=tri, inst=inst, u=best_u, v=best_v,
-                   front=best_front, steps=steps)
+                   front=best_front, steps=steps, eidx=best_e)

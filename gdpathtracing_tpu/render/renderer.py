@@ -33,6 +33,7 @@ class FrameAOVs(NamedTuple):
     depth: jnp.ndarray     # (H, W) f32 linear first-hit distance
     steps: jnp.ndarray     # (H, W) i32 triangle tests (DEBUG_STEPS analog)
     segments: jnp.ndarray  # (H, W) i32 traced ray segments (for Mrays/s)
+    normal: jnp.ndarray    # (H, W, 3) f32 first-hit normal (0 on miss)
 
 
 def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
@@ -60,6 +61,7 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
         depth = None
         steps = jnp.zeros(tile, jnp.int32)
         segments = jnp.zeros(tile, jnp.int32)
+        normal = None
         for s in range(config.spp):  # static unroll; spp is per-frame small
             seed = rng.prng_seed(px, py,
                                  frame_index * jnp.uint32(config.spp)
@@ -74,22 +76,25 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
                                                                 res.depth)
             steps = steps + res.steps
             segments = segments + res.segments
+            if normal is None:
+                normal = res.normal.to_array()
         inv = 1.0 / config.spp
         return (jnp.stack([acc_r * inv, acc_g * inv, acc_b * inv], axis=-1),
-                depth, steps, segments)
+                depth, steps, segments, normal)
 
     if n_tiles == 1:
-        rgb, depth, steps, segments = do_tile(tiles[0])
+        rgb, depth, steps, segments, normal = do_tile(tiles[0])
     else:
-        rgb, depth, steps, segments = jax.lax.map(do_tile, tiles)
+        rgb, depth, steps, segments, normal = jax.lax.map(do_tile, tiles)
         rgb = rgb.reshape(padded, 3)
 
     rgb = rgb.reshape(-1, 3)[:n_pix].reshape(h, w, 3)
     depth = depth.reshape(-1)[:n_pix].reshape(h, w)
     steps = steps.reshape(-1)[:n_pix].reshape(h, w)
     segments = segments.reshape(-1)[:n_pix].reshape(h, w)
+    normal = normal.reshape(-1, 3)[:n_pix].reshape(h, w, 3)
     return FrameAOVs(radiance=rgb, depth=depth, steps=steps,
-                     segments=segments)
+                     segments=segments, normal=normal)
 
 
 def render(scene: Scene, camera: Camera, config: RenderConfig | None = None,
@@ -110,16 +115,26 @@ def init_post_state(camera: Camera, config: RenderConfig):
 
 def render_frame(scene: Scene, camera: Camera, config: RenderConfig,
                  state, frame_index=0):
-    """Full frame-loop step: trace + denoise post-pass
+    """Full frame-loop step: trace + denoise post-pass + display transform
     (path_tracing_camera.cpp:206-226). Returns (image [0,1], new_state)."""
+    from gdpathtracing_tpu.post.display import display_transform
+
     aovs = render_radiance(scene, camera, config, frame_index)
     if config.denoising == DenoisingMode.PROGRESSIVE:
         assert isinstance(state, ProgressiveState)
-        return progressive_update(state, aovs.radiance, camera.transform)
-    if config.denoising == DenoisingMode.TEMPORAL:
+        linear, state = progressive_update(state, aovs.radiance,
+                                           camera.transform)
+    elif config.denoising == DenoisingMode.TEMPORAL:
         assert isinstance(state, TemporalState)
         depth_nl = nonlinear_depth(aovs.depth, camera.near, camera.far)
-        return temporal_update(state, aovs.radiance, depth_nl, camera.vp(),
-                               blend=config.temporal_blend,
-                               depth_eps=config.temporal_depth_eps)
-    return aces_film(aovs.radiance), state
+        linear, state = temporal_update(state, aovs.radiance, depth_nl,
+                                        camera.vp(),
+                                        blend=config.temporal_blend,
+                                        depth_eps=config.temporal_depth_eps)
+    else:
+        linear = aovs.radiance
+    if config.spatial_denoise:
+        from gdpathtracing_tpu.post.denoise import atrous_denoise
+        linear = atrous_denoise(linear, aovs.normal, aovs.depth,
+                                iterations=config.denoise_iterations)
+    return display_transform(linear, config), state

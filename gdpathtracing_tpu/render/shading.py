@@ -51,11 +51,63 @@ def sample_texture_array(textures: jnp.ndarray, tex_idx: jnp.ndarray,
     return vwhere(untextured, one, color)
 
 
-def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray) -> ShadingInfo:
+def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
+                          ) -> ShadingInfo:
+    """Packed-row shading fetch for backends that report the expanded
+    triangle index (unit/pallas): ONE (N, 16) gather from isect_shade plus
+    one small (N, 10) gather from the live material arrays — TPU gathers
+    dominate the frame otherwise (~12 separate gathers in the classic
+    path). Same math as get_shading_data."""
+    e = jnp.maximum(hit.eidx, 0)
+    row = scene.isect_shade[e]               # (N, 16)
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    normal = Vec3(
+        row[:, 0] * w + row[:, 3] * u + row[:, 6] * v,
+        row[:, 1] * w + row[:, 4] * u + row[:, 7] * v,
+        row[:, 2] * w + row[:, 5] * u + row[:, 8] * v,
+    ).normalize(eps=1e-20)
+    normal = vwhere(hit.front, normal, -normal)
+    uv_u = row[:, 9] * w + row[:, 11] * u + row[:, 13] * v
+    uv_v = row[:, 10] * w + row[:, 12] * u + row[:, 14] * v
+    mat_id = row[:, 15].astype(jnp.int32)
+
+    # Live material arrays (kept separate so albedo/emission gradients
+    # flow); packed to one small (M, 10) table → one gather.
+    mat_rows = jnp.concatenate([
+        scene.mat_albedo, scene.mat_emission,
+        scene.mat_emission_energy[:, None], scene.mat_metallic[:, None],
+        scene.mat_roughness[:, None],
+        scene.mat_tex.astype(jnp.float32)[:, None]], axis=1)[mat_id]
+    albedo = Vec3(mat_rows[:, 0], mat_rows[:, 1], mat_rows[:, 2])
+    tex_idx = mat_rows[:, 9].astype(jnp.int32)
+    albedo = albedo * sample_texture_array(scene.textures, tex_idx,
+                                           uv_u, uv_v)
+    energy = jnp.maximum(0.0, mat_rows[:, 6])
+    emission = Vec3(mat_rows[:, 3] * energy, mat_rows[:, 4] * energy,
+                    mat_rows[:, 5] * energy)
+    metallic = mat_rows[:, 7]
+    position = ray.at(hit.t)
+    out_dir = -ray.d
+    fresnel_0 = Vec3.full(0.02, like=albedo) + \
+        (albedo - Vec3.full(0.02, like=albedo)) * metallic
+    diffuse_albedo = albedo - albedo * metallic
+    roughness = jnp.maximum(MIN_ROUGHNESS, mat_rows[:, 8])
+    return ShadingInfo(
+        position=position, normal=normal, out_dir=out_dir,
+        lambert_out=normal.dot(out_dir), emission=emission,
+        diffuse_albedo=diffuse_albedo, fresnel_0=fresnel_0,
+        roughness=roughness)
+
+
+def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
+                     fast: bool = False) -> ShadingInfo:
     """main.glsl:194-222. `ray` is the world-space ray (out_dir = -d is
     already world-space here, unlike the reference which stores an
     object-space out_dir and re-transforms it at main.glsl:201 — same
     result, one transform cheaper)."""
+    if fast:
+        return get_shading_data_fast(scene, hit, ray)
     tri = hit.tri
     inst = hit.inst
 

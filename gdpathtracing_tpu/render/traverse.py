@@ -138,6 +138,7 @@ def trace_bvh(scene: Scene, ray: Ray, active=None, max_stack: int = 64,
                 v=jnp.where(upd, v, new_best.v),
                 front=jnp.where(upd, front, new_best.front),
                 steps=new_best.steps + tri_live.astype(jnp.int32),
+                eidx=new_best.eidx,
             )
         best = new_best
 

@@ -41,6 +41,9 @@ class HitInfo(NamedTuple):
     v: jnp.ndarray       # f32 barycentric
     front: jnp.ndarray   # bool — geometric normal faces the ray
     steps: jnp.ndarray   # i32 — triangle tests (DEBUG_STEPS analog)
+    eidx: jnp.ndarray    # i32 — expanded-triangle index (-1 when the
+    #                      backend doesn't track it; enables the packed
+    #                      fast shading fetch)
 
     @classmethod
     def none(cls, shape) -> "HitInfo":
@@ -48,7 +51,8 @@ class HitInfo(NamedTuple):
         zi = jnp.zeros(shape, dtype=jnp.int32)
         return cls(t=jnp.full(shape, MISS_T, dtype=jnp.float32),
                    tri=zi, inst=zi, u=z, v=z,
-                   front=jnp.zeros(shape, dtype=bool), steps=zi)
+                   front=jnp.zeros(shape, dtype=bool), steps=zi,
+                   eidx=zi - 1)
 
     @classmethod
     def none_like(cls, ref: jnp.ndarray) -> "HitInfo":
@@ -58,7 +62,7 @@ class HitInfo(NamedTuple):
         z = ref * 0.0
         zi = z.astype(jnp.int32)
         return cls(t=z + MISS_T, tri=zi, inst=zi, u=z, v=z,
-                   front=zi.astype(bool), steps=zi)
+                   front=zi.astype(bool), steps=zi, eidx=zi - 1)
 
     @property
     def hit(self) -> jnp.ndarray:

@@ -19,7 +19,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from gdpathtracing_tpu.scene.scene import ISECT_CHUNK, Scene
+from gdpathtracing_tpu.scene.scene import ISECT_CHUNK, Scene, build_shade_rows
 
 
 def _spread_bits(v: jnp.ndarray) -> jnp.ndarray:
@@ -122,6 +122,9 @@ def update_instance_transforms(scene: Scene,
         tlas_min = tlas_min.at[0].set(inst_min[0])
         tlas_max = tlas_max.at[0].set(inst_max[0])
 
+    shade = build_shade_rows(scene.tri_normal, scene.tri_uv,
+                             scene.tri_slot, scene.inst_materials,
+                             transforms, inst_ids, tri_ids)
     return dataclasses.replace(
         scene,
         inst_transform=transforms,
@@ -129,6 +132,7 @@ def update_instance_transforms(scene: Scene,
         isect_mu=mu, isect_mv=mv, isect_mw=mw,
         isect_inst=inst_ids, isect_tri=tri_ids,
         isect_chunk_bounds=chunk_bounds,
+        isect_shade=shade,
         tlas_min=tlas_min, tlas_max=tlas_max,
     )
 

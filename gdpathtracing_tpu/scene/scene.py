@@ -98,6 +98,21 @@ class Scene:
     # skip whole (ray-block × chunk) tiles — the TPU-shaped analog of BVH
     # culling (a "chunked LBVH" of depth 1).
     isect_chunk_bounds: jnp.ndarray
+    # Packed per-expanded-triangle shading rows (E, 16) f32:
+    # [n0.xyz, n1.xyz, n2.xyz (world space), uv0, uv1, uv2, mat_id] — the
+    # whole shading fetch becomes ONE contiguous-row gather (TPU gathers
+    # dominate frame time otherwise; see render/shading.py fast path).
+    isect_shade: jnp.ndarray
+    # Emissive (instance, triangle) pairs for NEE (render/lights.py);
+    # length max(L, 1) — n_lights is the true count.
+    light_inst: jnp.ndarray
+    light_tri: jnp.ndarray
+    # Optional equirect HDRI environment ((He, We, 3) f32 linear; dummy
+    # (1,1,3) + has_env=False → the analytic gradient sky is used).
+    env_map: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 1, 3), jnp.float32))
+    env_energy: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.float32(1.0))
     # Static per-instance triangle ranges (tuples → hashable jit statics);
     # used by the brute-force oracle backend.
     inst_tri_first: tuple = dataclasses.field(
@@ -108,6 +123,9 @@ class Scene:
     # order (scene/dynamic.py refits AABBs on device with it).
     tlas_refit_order: tuple = dataclasses.field(
         metadata=dict(static=True), default=())
+    n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+    has_env: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
 
     @property
     def n_tris(self) -> int:
@@ -148,6 +166,25 @@ def _morton3(x: np.ndarray) -> np.ndarray:
         return v
     return (spread(x[:, 0]) | (spread(x[:, 1]) << np.uint64(1))
             | (spread(x[:, 2]) << np.uint64(2)))
+
+
+def build_shade_rows(tri_normal, tri_uv, tri_slot, inst_materials,
+                     inst_transform, isect_inst, isect_tri):
+    """(E, 16) packed shading rows (works for np or jnp inputs — used at
+    build time and by scene.dynamic updates)."""
+    xp = jnp if isinstance(tri_normal, jnp.ndarray) else np
+    tf = inst_transform[isect_inst]          # (E, 3, 4)
+    nrm = tri_normal[isect_tri]              # (E, 3, 3) object space
+    world_n = xp.einsum("eab,evb->eva", tf[:, :, :3], nrm)
+    uv = tri_uv[isect_tri]                   # (E, 3, 2)
+    slot = xp.minimum(tri_slot[isect_tri], inst_materials.shape[1] - 1)
+    mat = inst_materials[isect_inst, slot]
+    e = world_n.shape[0]
+    return xp.concatenate([
+        world_n.reshape(e, 9),
+        uv.reshape(e, 6),
+        mat.reshape(e, 1).astype(xp.float32),
+    ], axis=1).astype(xp.float32)
 
 
 def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
@@ -248,6 +285,18 @@ class SceneBuilder:
         self._material_keys = {default_material.key(): 0}
         self._meshes: List[List[Surface]] = []
         self._instances: List[_Instance] = []
+        self._env: "np.ndarray | None" = None
+        self._env_energy = 1.0
+
+    def set_environment(self, image: np.ndarray,
+                        energy: float = 1.0) -> None:
+        """Equirect HDRI sky ((H, W, 3) float linear or uint8). Replaces
+        the analytic gradient sky for miss rays."""
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        self._env = img.astype(np.float32)
+        self._env_energy = float(energy)
 
     # ---- meshes ----
     def add_mesh(self, surfaces: Sequence[Surface]) -> int:
@@ -365,6 +414,31 @@ class SceneBuilder:
             blas.tri_pos, inst_transform,
             {k: tri_range[i.mesh_id] for k, i in enumerate(self._instances)})
 
+        isect_shade = build_shade_rows(
+            blas.tri_normal, blas.tri_uv, blas.tri_slot, inst_materials,
+            inst_transform, isect_inst, isect_tri)
+
+        # Emissive (instance, triangle) pairs → NEE light table.
+        light_inst, light_tri = [], []
+        for k, inst in enumerate(self._instances):
+            first, count = tri_range[inst.mesh_id]
+            slots = np.minimum(blas.tri_slot[first:first + count],
+                               max_surf - 1)
+            mats = inst_materials[k, slots]
+            emissive = (mat_energy[mats] > 0.0) & \
+                (np.abs(mat_emission[mats]).sum(axis=1) > 0.0)
+            idx = np.nonzero(emissive)[0]
+            light_inst.append(np.full(len(idx), k, np.int32))
+            light_tri.append((first + idx).astype(np.int32))
+        light_inst = np.concatenate(light_inst) if light_inst else \
+            np.zeros(0, np.int32)
+        light_tri = np.concatenate(light_tri) if light_tri else \
+            np.zeros(0, np.int32)
+        n_lights = len(light_inst)
+        if n_lights == 0:
+            light_inst = np.zeros(1, np.int32)
+            light_tri = np.zeros(1, np.int32)
+
         return Scene(
             tri_pos=jnp.asarray(blas.tri_pos),
             tri_normal=jnp.asarray(blas.tri_normal),
@@ -398,6 +472,14 @@ class SceneBuilder:
             isect_inst=jnp.asarray(isect_inst),
             isect_tri=jnp.asarray(isect_tri),
             isect_chunk_bounds=jnp.asarray(isect_chunk_bounds),
+            isect_shade=jnp.asarray(isect_shade),
+            light_inst=jnp.asarray(light_inst),
+            light_tri=jnp.asarray(light_tri),
+            n_lights=n_lights,
+            env_map=jnp.asarray(self._env) if self._env is not None
+            else jnp.zeros((1, 1, 3), jnp.float32),
+            env_energy=jnp.float32(self._env_energy),
+            has_env=self._env is not None,
             inst_tri_first=tuple(int(tri_range[i.mesh_id][0])
                                  for i in self._instances),
             inst_tri_count=tuple(int(tri_range[i.mesh_id][1])

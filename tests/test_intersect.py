@@ -147,3 +147,26 @@ def test_pallas_interpret_matches_brute_oracle():
     assert np.allclose(np.asarray(brute.u)[clear], np.asarray(pal.u)[clear],
                        atol=2e-3)
     assert (np.asarray(brute.front)[clear] == np.asarray(pal.front)[clear]).mean() > 0.999
+
+
+def test_fast_shading_matches_classic():
+    """Packed-row shading (eidx path) must reproduce the classic
+    multi-gather shading exactly on unit-backend hits."""
+    from gdpathtracing_tpu.render.intersect import trace_unit
+    from gdpathtracing_tpu.render.shading import (get_shading_data,
+                                                  get_shading_data_fast)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    ray = _random_rays(256, seed=9)
+    hit = trace_unit(scene, ray)
+    classic = get_shading_data(scene, hit, ray)
+    fast = get_shading_data_fast(scene, hit, ray)
+    m = np.asarray(hit.t) < 1e8
+    for name in ("position", "normal", "out_dir", "emission",
+                 "diffuse_albedo", "fresnel_0"):
+        a = np.asarray(getattr(classic, name).to_array())[m]
+        b = np.asarray(getattr(fast, name).to_array())[m]
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5), name
+    assert np.allclose(np.asarray(classic.roughness)[m],
+                       np.asarray(fast.roughness)[m])
+    assert np.allclose(np.asarray(classic.lambert_out)[m],
+                       np.asarray(fast.lambert_out)[m], atol=1e-5)

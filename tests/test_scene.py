@@ -128,3 +128,47 @@ def test_texture_array_assembly():
     assert scene.textures.shape == (1, 4, 4, 3)
     assert np.allclose(np.asarray(scene.textures)[0, :, :, 0], 1.0)
     assert int(np.asarray(scene.mat_tex)[1]) == 0  # slot 1 (0=default)
+
+
+def test_environment_map_sky():
+    import jax.numpy as jnp
+    from gdpathtracing_tpu.core.vec import Vec3
+    from gdpathtracing_tpu.render.sky import sample_environment, sample_sky
+    from gdpathtracing_tpu.config import RenderConfig
+    from gdpathtracing_tpu.scene.primitives import plane_mesh
+
+    env = np.zeros((4, 8, 3), np.float32)
+    env[0] = [0, 0, 1]   # zenith blue
+    env[3] = [0, 1, 0]   # nadir green
+    b = SceneBuilder()
+    mesh = b.add_mesh(plane_mesh())
+    b.add_instance(mesh, np.eye(4, dtype=np.float32)[:3])
+    b.set_environment(env, energy=2.0)
+    scene = b.build()
+    assert scene.has_env
+    up = Vec3(jnp.zeros(1), jnp.ones(1), jnp.zeros(1))
+    down = Vec3(jnp.zeros(1), -jnp.ones(1), jnp.zeros(1))
+    c_up = np.asarray(sample_sky(up, RenderConfig(), scene).to_array())[0]
+    c_dn = np.asarray(sample_sky(down, RenderConfig(), scene).to_array())[0]
+    assert c_up[2] > c_up[1]   # blue up
+    assert c_dn[1] > c_dn[2]   # green down
+    assert c_up.max() > 1.0    # energy multiplier applied
+
+
+def test_hdr_decoder(tmp_path):
+    from gdpathtracing_tpu.scene.hdr import load_hdr
+    # flat (non-RLE) 2x2 .hdr file built by hand
+    import struct
+    rgbe = np.array([
+        [[128, 0, 0, 129], [0, 128, 0, 129]],
+        [[0, 0, 128, 129], [128, 128, 128, 130]],
+    ], dtype=np.uint8)
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 2 +X 2\n"
+    p = tmp_path / "t.hdr"
+    p.write_bytes(header + rgbe.tobytes())
+    img = load_hdr(p)
+    assert img.shape == (2, 2, 3)
+    # (128+0.5)*2^(129-136) = 128.5/128 ≈ 1.0
+    assert abs(img[0, 0, 0] - 1.004) < 0.01
+    assert img[0, 0, 1] < 0.01
+    assert abs(img[1, 1, 0] - 2.008) < 0.02  # exponent 130 → x2
