@@ -67,7 +67,8 @@ class RenderConfig:
     traversal: Traversal = Traversal.BVH
     jitter: Jitter = Jitter.UNIFORM
     max_stack: int = 64       # traversal stack depth (main.glsl:272,307)
-    tile_rays: int = 65536    # rays per traced tile (bounds stack memory)
+    tile_rays: int = 262144   # rays per traced tile (bounds live wavefront
+    #                           memory; larger tiles amortize dispatch)
     temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
     temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
     denoising: DenoisingMode = DenoisingMode.PROGRESSIVE

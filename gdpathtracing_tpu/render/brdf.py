@@ -136,6 +136,31 @@ def ggx_dir_pdf(ndotv, view_dir: Vec3, light_dir: Vec3, normal: Vec3,
         jnp.maximum(4.0 * hdotv, _EPS)
 
 
+def fresnel_dielectric(cos_i, eta):
+    """Exact unpolarized dielectric Fresnel reflectance. `eta` = n_i/n_t
+    (ratio of the incident medium's IOR over the transmitted one);
+    cos_i ≥ 0. Returns 1.0 under total internal reflection."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    rs = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, _EPS)
+    rp = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, _EPS)
+    f = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+def refract(d: Vec3, n: Vec3, eta) -> tuple[Vec3, jnp.ndarray]:
+    """GLSL-style refract of incident direction `d` (pointing into the
+    surface) about normal `n` (facing the incident side). Returns
+    (direction, tir_mask); direction is garbage where tir is True."""
+    cos_i = -d.dot(n)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    t = d * eta + n * (eta * cos_i - jnp.sqrt(jnp.maximum(k, 0.0)))
+    return t.normalize(eps=_EPS), tir
+
+
 def diffuse_probability(s: ShadingInfo):
     """Lobe-pick probability (brdfs.glsl:107-110)."""
     return jnp.minimum(0.5, s.diffuse_albedo.luminance())

@@ -56,3 +56,10 @@ class Engine:
     def to_uint8(self, image) -> np.ndarray:
         return np.asarray(
             np.clip(np.asarray(image) * 255.0 + 0.5, 0, 255).astype(np.uint8))
+
+    def profile(self, logdir: str):
+        """jax.profiler trace context for the frame loop (SURVEY.md §5
+        tracing analog):  with engine.profile('/tmp/trace'): engine.step(cam)
+        """
+        import jax.profiler
+        return jax.profiler.trace(logdir)

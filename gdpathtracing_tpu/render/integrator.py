@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from gdpathtracing_tpu.config import RenderConfig, Traversal
 from gdpathtracing_tpu.core import rng
-from gdpathtracing_tpu.core.vec import Vec3, where as vwhere
+from gdpathtracing_tpu.core.vec import Vec3, reflect, where as vwhere
 from gdpathtracing_tpu.render import brdf
 from gdpathtracing_tpu.render.intersect import trace_brute
 from gdpathtracing_tpu.render.shading import get_shading_data
@@ -127,6 +127,8 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                 & jnp.isfinite(pl_l),
                 cos_i * w_l / jnp.maximum(pl_l, 1e-12), 0.0)
             direct = throughput * f_l * ls.emission * scale_l
+            if scene.has_transmission:
+                direct = direct * (1.0 - s.transmission)
             radiance = vwhere(active, radiance + direct, radiance)
 
         # First-hit distance → depth AOV (main.glsl:382-383) + normal AOV
@@ -147,15 +149,37 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         f = brdf.eval_brdf(s, new_dir)
         scale = jnp.where(pdf > 1e-12, lambert_in / jnp.maximum(pdf, 1e-12),
                           0.0)
-        new_throughput = throughput * (f * scale)
-
+        mult = f * scale
         survive = is_hit & (lambert_in > 0.0) & (pdf > 1e-12)
-        new_o = s.position + s.normal * config.ray_eps  # main.glsl:385
+        offset = s.normal * config.ray_eps  # main.glsl:385
+        prev_pdf_val = pdf
+
+        if scene.has_transmission:
+            # Dielectric delta lobe (wishlist "Transparent materials"):
+            # picked with probability `transmission`; Fresnel chooses
+            # reflect vs refract; throughput *= albedo tint.
+            (r3, r4), seed = rng.pcg2d(seed)
+            pick_t = r3 < s.transmission
+            eta = jnp.where(hit.front, 1.0 / s.ior, s.ior)
+            fres = brdf.fresnel_dielectric(s.lambert_out, eta)
+            refr_dir, tir = brdf.refract(r.d, s.normal, eta)
+            refl_dir = reflect(r.d, s.normal)
+            do_reflect = (r4 < fres) | tir
+            delta_dir = vwhere(do_reflect, refl_dir, refr_dir)
+            new_dir = vwhere(pick_t, delta_dir, new_dir)
+            mult = vwhere(pick_t, s.albedo, mult)
+            survive = jnp.where(pick_t, is_hit, survive)
+            offset = vwhere(pick_t & ~do_reflect, -offset, offset)
+            prev_pdf_val = jnp.where(pick_t, -1.0, prev_pdf_val)
+            lambert_in = jnp.where(pick_t, 1.0, lambert_in)
+
+        new_throughput = throughput * mult
+        new_o = s.position + offset
         ray_o = vwhere(survive, new_o, ray_o)
         ray_d = vwhere(survive, new_dir, ray_d)
         throughput = vwhere(survive, new_throughput, throughput)
         active = survive
-        prev_pdf = jnp.where(survive, pdf, -1.0)
+        prev_pdf = jnp.where(survive, prev_pdf_val, -1.0)
         return (ray_o, ray_d, throughput, radiance, active, seed, depth,
                 steps, segments, prev_pdf, normal)
 

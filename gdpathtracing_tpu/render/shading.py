@@ -78,7 +78,9 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
         scene.mat_albedo, scene.mat_emission,
         scene.mat_emission_energy[:, None], scene.mat_metallic[:, None],
         scene.mat_roughness[:, None],
-        scene.mat_tex.astype(jnp.float32)[:, None]], axis=1)[mat_id]
+        scene.mat_tex.astype(jnp.float32)[:, None],
+        scene.mat_transmission[:, None],
+        scene.mat_ior[:, None]], axis=1)[mat_id]
     albedo = Vec3(mat_rows[:, 0], mat_rows[:, 1], mat_rows[:, 2])
     tex_idx = mat_rows[:, 9].astype(jnp.int32)
     albedo = albedo * sample_texture_array(scene.textures, tex_idx,
@@ -97,7 +99,8 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
         position=position, normal=normal, out_dir=out_dir,
         lambert_out=normal.dot(out_dir), emission=emission,
         diffuse_albedo=diffuse_albedo, fresnel_0=fresnel_0,
-        roughness=roughness)
+        roughness=roughness,
+        transmission=mat_rows[:, 10], ior=mat_rows[:, 11], albedo=albedo)
 
 
 def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
@@ -164,4 +167,7 @@ def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
         diffuse_albedo=diffuse_albedo,
         fresnel_0=fresnel_0,
         roughness=roughness,
+        transmission=scene.mat_transmission[mat_id],
+        ior=scene.mat_ior[mat_id],
+        albedo=albedo,
     )

@@ -70,7 +70,8 @@ class HitInfo(NamedTuple):
 
 
 class ShadingInfo(NamedTuple):
-    """Analog of main.glsl:73-82 ShadingInfo."""
+    """Analog of main.glsl:73-82 ShadingInfo (+ dielectric transmission,
+    which the reference lists as a wishlist item)."""
 
     position: Vec3
     normal: Vec3
@@ -80,3 +81,6 @@ class ShadingInfo(NamedTuple):
     diffuse_albedo: Vec3
     fresnel_0: Vec3
     roughness: jnp.ndarray
+    transmission: jnp.ndarray   # dielectric transparency in [0, 1]
+    ior: jnp.ndarray
+    albedo: Vec3                # untinted base color (transmission tint)

@@ -78,6 +78,8 @@ class Scene:
     mat_emission_energy: jnp.ndarray
     mat_metallic: jnp.ndarray
     mat_roughness: jnp.ndarray
+    mat_transmission: jnp.ndarray
+    mat_ior: jnp.ndarray
     mat_tex: jnp.ndarray
     textures: jnp.ndarray
     # Unit-triangle-space intersection arrays over the instance-EXPANDED
@@ -126,6 +128,8 @@ class Scene:
     n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
     has_env: bool = dataclasses.field(metadata=dict(static=True),
                                       default=False)
+    has_transmission: bool = dataclasses.field(metadata=dict(static=True),
+                                               default=False)
 
     @property
     def n_tris(self) -> int:
@@ -388,6 +392,8 @@ class SceneBuilder:
         mat_energy = np.zeros(n_mat, dtype=np.float32)
         mat_metal = np.zeros(n_mat, dtype=np.float32)
         mat_rough = np.zeros(n_mat, dtype=np.float32)
+        mat_trans = np.zeros(n_mat, dtype=np.float32)
+        mat_ior = np.full(n_mat, 1.5, dtype=np.float32)
         mat_tex = np.full(n_mat, -1, dtype=np.int32)
         tex_by_id: dict[int, int] = {}
         textures: List[np.ndarray] = []
@@ -397,6 +403,8 @@ class SceneBuilder:
             mat_energy[i] = m.emission_energy
             mat_metal[i] = m.metallic
             mat_rough[i] = m.roughness
+            mat_trans[i] = m.transmission
+            mat_ior[i] = m.ior
             if m.albedo_texture is not None:
                 key = id(m.albedo_texture)
                 if key not in tex_by_id:
@@ -464,6 +472,8 @@ class SceneBuilder:
             mat_emission_energy=jnp.asarray(mat_energy),
             mat_metallic=jnp.asarray(mat_metal),
             mat_roughness=jnp.asarray(mat_rough),
+            mat_transmission=jnp.asarray(mat_trans),
+            mat_ior=jnp.asarray(mat_ior),
             mat_tex=jnp.asarray(mat_tex),
             textures=jnp.asarray(tex_array),
             isect_mu=jnp.asarray(isect_mu),
@@ -480,6 +490,7 @@ class SceneBuilder:
             else jnp.zeros((1, 1, 3), jnp.float32),
             env_energy=jnp.float32(self._env_energy),
             has_env=self._env is not None,
+            has_transmission=bool((mat_trans > 0).any()),
             inst_tri_first=tuple(int(tri_range[i.mesh_id][0])
                                  for i in self._instances),
             inst_tri_count=tuple(int(tri_range[i.mesh_id][1])

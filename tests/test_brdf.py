@@ -30,6 +30,9 @@ def _shading(albedo=(1.0, 1.0, 1.0), metallic=0.0, roughness=0.5,
         diffuse_albedo=diffuse,
         fresnel_0=f0,
         roughness=jnp.full(n, roughness),
+        transmission=jnp.zeros(n),
+        ior=jnp.full(n, 1.5),
+        albedo=alb,
     )
 
 
