@@ -26,9 +26,9 @@ def main() -> None:
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--traversal", default=None,
-                    help="bvh|brute|pallas (default: fastest for the demo "
-                         "scene — currently brute: dense intersection beats "
-                         "the lockstep while-loop BVH on TPU at ~1k tris)")
+                    help="pallas|unit|brute|bvh (default pallas — the fused "
+                         "chunk-culled kernel; measured 3.7 Mrays/s at "
+                         "1080p vs 0.35 for the XLA megakernel paths)")
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -40,7 +40,7 @@ def main() -> None:
     from gdpathtracing_tpu.render.renderer import render_radiance
     from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
 
-    traversal = Traversal(args.traversal) if args.traversal else Traversal.BRUTE
+    traversal = Traversal(args.traversal) if args.traversal else Traversal.PALLAS
 
     scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
     camera = demo_camera(args.width, args.height)

@@ -178,22 +178,26 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     t, idx = t[:n], idx[:n]
 
     # Recompute barycentrics / facing for the winning triangle only:
-    # gather its 12 matrix floats and redo the 4-term dots per ray — far
-    # cheaper than selecting them inside the (rays × tris) kernel sweep.
-    mu_e = scene.isect_mu[:, idx]  # (4, N)
-    mv_e = scene.isect_mv[:, idx]
-    mw_e = scene.isect_mw[:, idx]
+    # ONE contiguous 12-float row gather (isect_cols) + 4-term dots — far
+    # cheaper than selecting them inside the (rays × tris) kernel sweep,
+    # and row-major so the TPU gather is a contiguous 48 B fetch.
+    rows = scene.isect_cols[idx]  # (N, 12)
 
-    def dot4(m, x, y, z, w):
-        return m[0] * x + m[1] * y + m[2] * z + m[3] * w
+    def dot4(m0, m1, m2, m3, x, y, z, w):
+        return m0 * x + m1 * y + m2 * z + m3 * w
 
     one = ray.o.x * 0.0 + 1.0
     zero = ray.o.x * 0.0
-    u = dot4(mu_e, ray.o.x, ray.o.y, ray.o.z, one) + \
-        t * dot4(mu_e, ray.d.x, ray.d.y, ray.d.z, zero)
-    v = dot4(mv_e, ray.o.x, ray.o.y, ray.o.z, one) + \
-        t * dot4(mv_e, ray.d.x, ray.d.y, ray.d.z, zero)
-    w_d = dot4(mw_e, ray.d.x, ray.d.y, ray.d.z, zero)
+    u = dot4(rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
+             ray.o.x, ray.o.y, ray.o.z, one) + \
+        t * dot4(rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
+                 ray.d.x, ray.d.y, ray.d.z, zero)
+    v = dot4(rows[:, 4], rows[:, 5], rows[:, 6], rows[:, 7],
+             ray.o.x, ray.o.y, ray.o.z, one) + \
+        t * dot4(rows[:, 4], rows[:, 5], rows[:, 6], rows[:, 7],
+                 ray.d.x, ray.d.y, ray.d.z, zero)
+    w_d = dot4(rows[:, 8], rows[:, 9], rows[:, 10], rows[:, 11],
+               ray.d.x, ray.d.y, ray.d.z, zero)
     front = w_d < 0.0
 
     hit = t < MISS_T
@@ -205,3 +209,126 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     return HitInfo(t=t, tri=tri, inst=inst,
                    u=jnp.clip(u, 0.0, 1.0), v=jnp.clip(v, 0.0, 1.0),
                    front=front, steps=steps, eidx=idx)
+
+
+def _occlusion_kernel(chunk_ref, o4_ref, d4_ref, tmax_ref, mu_ref, mv_ref,
+                      mw_ref, occ_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        occ_ref[i, :] = jnp.zeros((occ_ref.shape[1],), jnp.int32)
+
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    t_max = tmax_ref[i, :]
+    occ = occ_ref[i, :]
+
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
+    rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
+    rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
+    base = j * 8
+    tx1 = (chunk_ref[base + 0] - ox) * rdx
+    tx2 = (chunk_ref[base + 3] - ox) * rdx
+    ty1 = (chunk_ref[base + 1] - oy) * rdy
+    ty2 = (chunk_ref[base + 4] - oy) * rdy
+    tz1 = (chunk_ref[base + 2] - oz) * rdz
+    tz2 = (chunk_ref[base + 5] - oz) * rdz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & (occ == 0)
+
+    @pl.when(jnp.any(may_hit))
+    def _():
+        mu = mu_ref[...]
+        mv = mv_ref[...]
+        mw = mw_ref[...]
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        blocked = wd_ok & (t > 0.0) & (t < t_max[:, None]) & (u >= 0.0) & \
+            (v >= 0.0) & (u + v <= 1.0)
+        occ_ref[i, :] = occ | jnp.any(blocked, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
+    n = o4t.shape[1]
+    e = mu.shape[1]
+    grid = (n // BN, e // BT)
+    gr = grid[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))],
+    )
+    (occ,) = pl.pallas_call(
+        _occlusion_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32)],
+        interpret=interpret,
+    )(chunk_bounds.T.reshape(-1), o4t, d4t, t_max.reshape(gr, BN), mu, mv, mw)
+    return occ.reshape(-1)
+
+
+def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Any-hit query: True where something blocks `ray` before `t_max`.
+    Cheaper than closest-hit (no argmin/record keeping; chunks skip once a
+    block is fully occluded or culled)."""
+    n = ray.o.x.shape[0]
+    n_pad = -(-n // BN) * BN
+
+    ox, oy, oz = ray.o.x, ray.o.y, ray.o.z
+    dx, dy, dz = ray.d.x, ray.d.y, ray.d.z
+    tm = t_max
+    if active is not None:
+        far, s3 = 1e9, 0.5773503
+        ox = jnp.where(active, ox, far)
+        oy = jnp.where(active, oy, far)
+        oz = jnp.where(active, oz, far)
+        dx = jnp.where(active, dx, s3)
+        dy = jnp.where(active, dy, s3)
+        dz = jnp.where(active, dz, s3)
+        tm = jnp.where(active, tm, 0.0)
+
+    def pad(x, value=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=value)
+
+    o4t = jnp.stack([pad(ox, 1e9), pad(oy, 1e9), pad(oz, 1e9),
+                     pad(ox * 0 + 1.0)], axis=0)
+    d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
+                     pad(dx * 0)], axis=0)
+    occ = _occlusion(o4t, d4t, pad(tm), scene.isect_chunk_bounds,
+                     scene.isect_mu, scene.isect_mv, scene.isect_mw,
+                     interpret=interpret)[:n]
+    out = occ.astype(bool)
+    if active is not None:
+        out = out & active
+    return out

@@ -114,8 +114,18 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             shadow_o = s.position + s.normal * config.ray_eps
             shadow_active = is_hit & (cos_i > 0.0) & \
                 jnp.isfinite(ls.pdf_solid)
-            sh = trace_fn(scene, Ray(shadow_o, ls.wi), shadow_active)
-            unoccluded = ~(sh.t < ls.dist * (1.0 - 1e-3))
+            if config.traversal == Traversal.PALLAS:
+                # Dedicated any-hit kernel: no closest-hit bookkeeping,
+                # chunks skip once a whole ray block is resolved.
+                from gdpathtracing_tpu.ops.intersect_pallas import \
+                    occluded_pallas
+                occluded = occluded_pallas(
+                    scene, Ray(shadow_o, ls.wi),
+                    ls.dist * (1.0 - 1e-3), shadow_active)
+                unoccluded = ~occluded
+            else:
+                sh = trace_fn(scene, Ray(shadow_o, ls.wi), shadow_active)
+                unoccluded = ~(sh.t < ls.dist * (1.0 - 1e-3))
             segments = segments + shadow_active.astype(jnp.int32)
             f_l = brdf.eval_brdf(s, ls.wi)
             pb_l = jax.lax.stop_gradient(brdf.brdf_pdf(s, ls.wi))

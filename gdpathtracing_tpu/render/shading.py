@@ -80,7 +80,8 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
         scene.mat_roughness[:, None],
         scene.mat_tex.astype(jnp.float32)[:, None],
         scene.mat_transmission[:, None],
-        scene.mat_ior[:, None]], axis=1)[mat_id]
+        scene.mat_ior[:, None],
+        scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)[mat_id]
     albedo = Vec3(mat_rows[:, 0], mat_rows[:, 1], mat_rows[:, 2])
     tex_idx = mat_rows[:, 9].astype(jnp.int32)
     albedo = albedo * sample_texture_array(scene.textures, tex_idx,
@@ -89,12 +90,17 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
     emission = Vec3(mat_rows[:, 3] * energy, mat_rows[:, 4] * energy,
                     mat_rows[:, 5] * energy)
     metallic = mat_rows[:, 7]
+    roughness = mat_rows[:, 8]
+    mr_idx = mat_rows[:, 12].astype(jnp.int32)
+    mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
+    roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
+    metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
     position = ray.at(hit.t)
     out_dir = -ray.d
     fresnel_0 = Vec3.full(0.02, like=albedo) + \
         (albedo - Vec3.full(0.02, like=albedo)) * metallic
     diffuse_albedo = albedo - albedo * metallic
-    roughness = jnp.maximum(MIN_ROUGHNESS, mat_rows[:, 8])
+    roughness = jnp.maximum(MIN_ROUGHNESS, roughness)
     return ShadingInfo(
         position=position, normal=normal, out_dir=out_dir,
         lambert_out=normal.dot(out_dir), emission=emission,
@@ -153,10 +159,15 @@ def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
                     scene.mat_emission[mat_id, 2] * energy)
 
     metallic = scene.mat_metallic[mat_id]
+    roughness = scene.mat_roughness[mat_id]
+    mr_idx = scene.mat_mr_tex[mat_id]
+    mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
+    roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
+    metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
     fresnel_0 = Vec3.full(0.02, like=albedo) + \
         (albedo - Vec3.full(0.02, like=albedo)) * metallic  # main.glsl:217
     diffuse_albedo = albedo - albedo * metallic              # main.glsl:218
-    roughness = jnp.maximum(MIN_ROUGHNESS, scene.mat_roughness[mat_id])
+    roughness = jnp.maximum(MIN_ROUGHNESS, roughness)
 
     return ShadingInfo(
         position=position,

@@ -130,6 +130,7 @@ def update_instance_transforms(scene: Scene,
         inst_transform=transforms,
         inst_inv_transform=inv,
         isect_mu=mu, isect_mv=mv, isect_mw=mw,
+        isect_cols=jnp.concatenate([mu.T, mv.T, mw.T], axis=1),
         isect_inst=inst_ids, isect_tri=tri_ids,
         isect_chunk_bounds=chunk_bounds,
         isect_shade=shade,

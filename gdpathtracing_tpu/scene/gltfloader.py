@@ -112,6 +112,11 @@ class GLTF:
             tex_idx = self.doc["textures"][
                 pbr["baseColorTexture"]["index"]]["source"]
             tex = self.image(tex_idx)
+        mr_tex = None
+        if "metallicRoughnessTexture" in pbr:
+            mr_idx = self.doc["textures"][
+                pbr["metallicRoughnessTexture"]["index"]]["source"]
+            mr_tex = self.image(mr_idx)
         emissive = m.get("emissiveFactor", [0, 0, 0])
         energy = 1.0 if any(e > 0 for e in emissive) else 0.0
         return Material(
@@ -121,6 +126,7 @@ class GLTF:
             metallic=pbr.get("metallicFactor", 1.0 if pbr else 0.0),
             roughness=pbr.get("roughnessFactor", 1.0),
             albedo_texture=tex,
+            metallic_roughness_texture=mr_tex,
         )
 
     def mesh_surfaces(self, idx: int):

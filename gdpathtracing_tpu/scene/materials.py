@@ -25,13 +25,16 @@ class Material:
     transmission: float = 0.0  # dielectric transparency (wishlist item)
     ior: float = 1.5
     albedo_texture: "np.ndarray | None" = None  # (H, W, 3) float or uint8
+    # glTF-convention metallic-roughness texture: G=roughness, B=metallic
+    metallic_roughness_texture: "np.ndarray | None" = None
 
     def key(self):
         """Dedupe key (texture identity by object id, matching the
         reference's pointer dedupe at geometry_group3d.cpp:137-148)."""
         return (self.albedo, self.emission, self.emission_energy,
                 self.metallic, self.roughness, self.transmission, self.ior,
-                id(self.albedo_texture))
+                id(self.albedo_texture),
+                id(self.metallic_roughness_texture))
 
 
 DEFAULT_MATERIAL = Material(albedo=(0.5, 0.5, 0.5), roughness=0.5)

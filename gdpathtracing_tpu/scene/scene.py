@@ -81,6 +81,7 @@ class Scene:
     mat_transmission: jnp.ndarray
     mat_ior: jnp.ndarray
     mat_tex: jnp.ndarray
+    mat_mr_tex: jnp.ndarray  # metallic-roughness texture index (-1 = none)
     textures: jnp.ndarray
     # Unit-triangle-space intersection arrays over the instance-EXPANDED
     # world-space triangle list (E = Σ instance tri counts). Each expanded
@@ -100,6 +101,10 @@ class Scene:
     # skip whole (ray-block × chunk) tiles — the TPU-shaped analog of BVH
     # culling (a "chunked LBVH" of depth 1).
     isect_chunk_bounds: jnp.ndarray
+    # Row-major copy of the unit-space columns ((E, 12):
+    # [mu(4), mv(4), mw(4)]) for per-winner epilogue recompute — a
+    # contiguous row gather instead of strided column gathers.
+    isect_cols: jnp.ndarray
     # Packed per-expanded-triangle shading rows (E, 16) f32:
     # [n0.xyz, n1.xyz, n2.xyz (world space), uv0, uv1, uv2, mat_id] — the
     # whole shading fetch becomes ONE contiguous-row gather (TPU gathers
@@ -395,8 +400,17 @@ class SceneBuilder:
         mat_trans = np.zeros(n_mat, dtype=np.float32)
         mat_ior = np.full(n_mat, 1.5, dtype=np.float32)
         mat_tex = np.full(n_mat, -1, dtype=np.int32)
+        mat_mr_tex = np.full(n_mat, -1, dtype=np.int32)
         tex_by_id: dict[int, int] = {}
         textures: List[np.ndarray] = []
+
+        def register(img):
+            key = id(img)
+            if key not in tex_by_id:
+                tex_by_id[key] = len(textures)
+                textures.append(resize_texture(img, self.texture_resolution))
+            return tex_by_id[key]
+
         for i, m in enumerate(self._materials):
             mat_albedo[i] = m.albedo
             mat_emission[i] = m.emission
@@ -406,12 +420,9 @@ class SceneBuilder:
             mat_trans[i] = m.transmission
             mat_ior[i] = m.ior
             if m.albedo_texture is not None:
-                key = id(m.albedo_texture)
-                if key not in tex_by_id:
-                    tex_by_id[key] = len(textures)
-                    textures.append(
-                        resize_texture(m.albedo_texture, self.texture_resolution))
-                mat_tex[i] = tex_by_id[key]
+                mat_tex[i] = register(m.albedo_texture)
+            if m.metallic_roughness_texture is not None:
+                mat_mr_tex[i] = register(m.metallic_roughness_texture)
         if not textures:  # dummy slice (geometry_group3d.cpp:301-303)
             textures = [np.ones((1, 1, 3), dtype=np.float32)]
         tex_array = np.stack(textures, axis=0)
@@ -475,6 +486,7 @@ class SceneBuilder:
             mat_transmission=jnp.asarray(mat_trans),
             mat_ior=jnp.asarray(mat_ior),
             mat_tex=jnp.asarray(mat_tex),
+            mat_mr_tex=jnp.asarray(mat_mr_tex),
             textures=jnp.asarray(tex_array),
             isect_mu=jnp.asarray(isect_mu),
             isect_mv=jnp.asarray(isect_mv),
@@ -482,6 +494,9 @@ class SceneBuilder:
             isect_inst=jnp.asarray(isect_inst),
             isect_tri=jnp.asarray(isect_tri),
             isect_chunk_bounds=jnp.asarray(isect_chunk_bounds),
+            isect_cols=jnp.concatenate(
+                [jnp.asarray(isect_mu).T, jnp.asarray(isect_mv).T,
+                 jnp.asarray(isect_mw).T], axis=1),
             isect_shade=jnp.asarray(isect_shade),
             light_inst=jnp.asarray(light_inst),
             light_tri=jnp.asarray(light_tri),

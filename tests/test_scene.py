@@ -172,3 +172,34 @@ def test_hdr_decoder(tmp_path):
     assert abs(img[0, 0, 0] - 1.004) < 0.01
     assert img[0, 0, 1] < 0.01
     assert abs(img[1, 1, 0] - 2.008) < 0.02  # exponent 130 → x2
+
+
+def test_metallic_roughness_texture():
+    import jax.numpy as jnp
+    from gdpathtracing_tpu.render.intersect import trace_unit
+    from gdpathtracing_tpu.render.shading import get_shading_data
+    from gdpathtracing_tpu.render.types import Ray
+    from gdpathtracing_tpu.core.vec import Vec3
+
+    # G=0.5 (roughness), B=1.0 (metallic)
+    mr = np.zeros((4, 4, 3), np.float32)
+    mr[:, :, 1] = 0.5
+    mr[:, :, 2] = 1.0
+    b = SceneBuilder(texture_resolution=4)
+    mesh = b.add_mesh(plane_mesh(size=4.0))
+    b.add_instance(mesh, np.eye(4, dtype=np.float32)[:3],
+                   materials=[Material(albedo=(1, 1, 1), metallic=1.0,
+                                       roughness=0.8,
+                                       metallic_roughness_texture=mr)])
+    scene = b.build()
+    assert int(np.asarray(scene.mat_mr_tex)[1]) >= 0
+    ray = Ray(Vec3(jnp.zeros(4), jnp.ones(4) * 2, jnp.zeros(4)),
+              Vec3(jnp.zeros(4), -jnp.ones(4), jnp.zeros(4)))
+    hit = trace_unit(scene, ray)
+    assert (np.asarray(hit.t) < 1e8).all()
+    for fast in (False, True):
+        s = get_shading_data(scene, hit, ray, fast=fast)
+        assert np.allclose(np.asarray(s.roughness), 0.4, atol=1e-3), fast
+        # metallic 1.0 * B 1.0 → fully metallic: diffuse goes to 0
+        assert np.allclose(np.asarray(s.diffuse_albedo.to_array()), 0.0,
+                           atol=1e-3), fast
