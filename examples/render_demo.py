@@ -44,8 +44,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--spp", type=int, default=1)
-    ap.add_argument("--traversal", default="bvh",
-                    choices=["bvh", "brute", "pallas"])
+    ap.add_argument("--traversal", default="pallas",
+                    choices=["pallas", "unit", "brute", "bvh"])
     ap.add_argument("--out", default="out/demo.png")
     args = ap.parse_args()
 

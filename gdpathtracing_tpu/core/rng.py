@@ -13,11 +13,13 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-_A = jnp.uint32(1664525)
-_C = jnp.uint32(1013904223)
-_GOLDEN = jnp.uint32(0x9E3779B9)
-_INV32 = jnp.float32(2.32830643654e-10)  # 2^-32, constant from main.glsl:173
+# numpy scalars: importing this module must not initialize a JAX backend
+_A = np.uint32(1664525)
+_C = np.uint32(1013904223)
+_GOLDEN = np.uint32(0x9E3779B9)
+_INV32 = np.float32(2.32830643654e-10)  # 2^-32, constant from main.glsl:173
 
 
 def pcg2d(seed: Tuple[jnp.ndarray, jnp.ndarray]):

@@ -17,7 +17,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from gdpathtracing_tpu.post.tonemap import aces_film
 
 
 class ProgressiveState(NamedTuple):

@@ -22,7 +22,7 @@ from gdpathtracing_tpu.render.types import MISS_T, HitInfo, Ray
 from gdpathtracing_tpu.scene.scene import Scene
 
 DET_EPS = 1e-5  # main.glsl:237
-AABB_MISS = jnp.float32(1e30)  # main.glsl:267
+AABB_MISS = 1e30  # main.glsl:267
 
 
 def moller_trumbore(ray: Ray, v0: Vec3, v1: Vec3, v2: Vec3, t_max):

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from gdpathtracing_tpu.core.vec import Vec3
 
@@ -26,7 +27,7 @@ class Ray(NamedTuple):
         return self.o + self.d * t
 
 
-MISS_T = jnp.float32(1e9)  # main.glsl:354
+MISS_T = np.float32(1e9)  # main.glsl:354 (np scalar: no backend init at import)
 
 
 class HitInfo(NamedTuple):
