@@ -30,6 +30,9 @@ def main() -> None:
                          "chunk-culled kernel; measured 3.7 Mrays/s at "
                          "1080p vs 0.35 for the XLA megakernel paths)")
     ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--scene", default="demo", choices=["demo", "grid"],
+                    help="demo = reference Cornell scene (~1.5k tris); "
+                         "grid = 100-instance sphere grid (~100k tris)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -38,12 +41,17 @@ def main() -> None:
 
     from gdpathtracing_tpu.config import RenderConfig, Traversal
     from gdpathtracing_tpu.render.renderer import render_radiance
-    from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
+    from gdpathtracing_tpu.scene.demo import (build_demo_scene, demo_camera,
+                                              build_sphere_grid, grid_camera)
 
     traversal = Traversal(args.traversal) if args.traversal else Traversal.PALLAS
 
-    scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
-    camera = demo_camera(args.width, args.height)
+    if args.scene == "grid":
+        scene = build_sphere_grid(n=10, sphere_detail=16)
+        camera = grid_camera(args.width, args.height, n=10)
+    else:
+        scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
+        camera = demo_camera(args.width, args.height)
     config = RenderConfig(bounces=args.bounces, spp=args.spp,
                           traversal=traversal)
 
@@ -70,7 +78,8 @@ def main() -> None:
     mrays = rays_per_s / 1e6
     print(json.dumps({
         "metric": f"Mrays/s/chip primal {args.spp}spp "
-                  f"{args.width}x{args.height} {traversal.value}",
+                  f"{args.width}x{args.height} {traversal.value} "
+                  f"{args.scene}",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": 1.0,

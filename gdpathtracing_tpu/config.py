@@ -30,6 +30,9 @@ class Traversal(enum.Enum):
     BVH = "bvh"      # two-level TLAS/BLAS stack traversal (batched lax loop)
     UNIT = "unit"    # O(rays x tris) unit-triangle-space matmul formulation
     PALLAS = "pallas"  # fused Pallas TPU kernel (unit-triangle space)
+    FUSED = "fused"    # megakernel: whole bounce loop in one Pallas kernel
+    #                    (small/mid scenes, no textures/env/NEE — the
+    #                    dispatcher validates via fused_pallas.fused_supported)
 
 
 class Tonemap(enum.Enum):

@@ -46,6 +46,8 @@ def get_trace_fn(config: RenderConfig) -> TraceFn:
     if config.traversal == Traversal.PALLAS:
         from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
         return lambda scene, ray, active: trace_pallas(scene, ray, active)
+    if config.traversal == Traversal.FUSED:
+        return None  # path_trace dispatches to the megakernel directly
     raise ValueError(config.traversal)
 
 
@@ -68,6 +70,15 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     combined with the power heuristic — identical expectation to the
     reference's transport, far lower variance.
     """
+    if config.traversal == Traversal.FUSED:
+        from gdpathtracing_tpu.ops.fused_pallas import (fused_supported,
+                                                        path_trace_fused)
+        if not fused_supported(scene, config):
+            raise ValueError(
+                "FUSED traversal unsupported for this scene/config "
+                "(textures/env/NEE/transmission or too many triangles); "
+                "use PALLAS")
+        return path_trace_fused(scene, ray, seed, config, far=far)
     if trace_fn is None:
         trace_fn = get_trace_fn(config)
     n = ray.o.x.shape[0]

@@ -93,6 +93,51 @@ def demo_camera(width: int, height: int, fov_deg: float = 79.5) -> Camera:
                               width=width, height=height)
 
 
+def build_sphere_grid(n: int = 10, sphere_detail: int = 16,
+                      spacing: float = 2.5) -> Scene:
+    """Stress scene: an n×n grid of instanced spheres (one shared mesh →
+    n² BLAS instances, n²·tris expanded triangles) over a floor, an
+    emissive ceiling light, alternating diffuse/metal materials. Used by
+    bench.py --scene grid to measure scaling beyond the ~1.5k-tri demo."""
+    b = SceneBuilder()
+    sphere = b.add_mesh(
+        uv_sphere(radius=1.0, rings=sphere_detail, segments=2 * sphere_detail))
+    floor = b.add_mesh(plane_mesh(size=2.0))
+    light_mesh = b.add_mesh(plane_mesh(size=2.0))
+
+    half = (n - 1) * spacing * 0.5
+    b.add_instance(
+        floor,
+        _affine([n * spacing, 0, 0, 0, 1, 0, 0, 0, n * spacing],
+                (0, -1.0, 0)),
+        materials=[Material(albedo=(0.8, 0.8, 0.8), roughness=0.7)])
+    b.add_instance(
+        light_mesh,
+        _affine([n * spacing, 0, 0, 0, -1, 0, 0, 0, -n * spacing],
+                (0, 4.0 + n, 0)),
+        materials=[LIGHT_MAT])
+    mats = [Material(albedo=(0.9, 0.3, 0.2), roughness=0.4),
+            Material(albedo=(0.2, 0.5, 0.9), roughness=0.2, metallic=1.0),
+            Material(albedo=(0.3, 0.9, 0.4), roughness=0.8),
+            Material(albedo=(0.9, 0.9, 0.9), roughness=0.05, metallic=1.0)]
+    for i in range(n):
+        for j in range(n):
+            b.add_instance(
+                sphere,
+                _affine([1, 0, 0, 0, 1, 0, 0, 0, 1],
+                        (i * spacing - half, 0.0, j * spacing - half)),
+                materials=[mats[(i + j) % len(mats)]])
+    return b.build()
+
+
+def grid_camera(width: int, height: int, n: int = 10,
+                spacing: float = 2.5) -> Camera:
+    ext = n * spacing
+    return Camera.looking_at((0.6 * ext, 0.45 * ext, 0.8 * ext),
+                             (0, 0, 0), fov_deg=50.0,
+                             width=width, height=height)
+
+
 def build_cornell_simple(light_energy: float = 10.0) -> Scene:
     """Minimal diffuse Cornell scene for tests (BASELINE config 1): the box
     plus the plane light, no spheres."""
