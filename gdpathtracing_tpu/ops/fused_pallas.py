@@ -78,12 +78,16 @@ def _pcg2d(sx, sy):
 
 def _sweep(chunk_ref, mu_ref, mv_ref, mw_ref, n_chunks,
            ox, oy, oz, dx, dy, dz, active):
-    """Closest hit over all chunks for one ray block → (t, eidx)."""
+    """Closest hit over all chunks for one ray block → (t, eidx).
+
+    Pure broadcast formulation: Mosaic rejects assembling (4, BN) ray
+    matrices from 1-D rows (vector concat offset limits), so the K=4
+    contractions are expanded into f32 [:, None]x[None, :] broadcasts —
+    VPU work instead of a skinny MXU matmul, same math.
+    """
     rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
     rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
     rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
-    o4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)
-    d4 = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)], axis=0)
 
     def body(c, carry):
         best_t, best_i = carry
@@ -105,18 +109,21 @@ def _sweep(chunk_ref, mu_ref, mv_ref, mw_ref, n_chunks,
         def hit_case(args):
             best_t, best_i = args
             sl = pl.ds(c * BT, BT)
-            mu = mu_ref[:, sl]
-            mv = mv_ref[:, sl]
-            mw = mw_ref[:, sl]
 
-            def mm(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+            def dots(m_ref):
+                m0 = m_ref[0, sl][None, :]
+                m1 = m_ref[1, sl][None, :]
+                m2 = m_ref[2, sl][None, :]
+                m3 = m_ref[3, sl][None, :]
+                comp_o = (ox[:, None] * m0 + oy[:, None] * m1
+                          + oz[:, None] * m2 + m3)
+                comp_d = (dx[:, None] * m0 + dy[:, None] * m1
+                          + dz[:, None] * m2)
+                return comp_o, comp_d
 
-            u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
-            u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+            u_o, u_d = dots(mu_ref)
+            v_o, v_d = dots(mv_ref)
+            w_o, w_d = dots(mw_ref)
             wd_ok = jnp.abs(w_d) > _WD_EPS
             inv_wd = jnp.where(wd_ok, w_d, 1.0)
             t = -w_o / inv_wd
@@ -124,7 +131,10 @@ def _sweep(chunk_ref, mu_ref, mv_ref, mw_ref, n_chunks,
             v = v_o + t * v_d
             valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & \
                 (u + v <= 1.0)
-            t = jnp.where(valid & active[:, None], t, _MISS)
+            # NOTE: no bool[:, None] broadcasts — Mosaic only supports
+            # minor-dim insertion for 32-bit types. Dead rays are parked
+            # outside the scene instead of masked here.
+            t = jnp.where(valid, t, _MISS)
             tk = jnp.min(t, axis=1)
             k = jnp.argmin(t, axis=1).astype(jnp.int32)
             better = tk < best_t
@@ -144,12 +154,12 @@ def _gather_rows(table_ref, n_chunks, eidx, hit):
         in_chunk = hit & (eidx >= c * BT) & (eidx < (c + 1) * BT)
 
         def gather_case(acc):
-            local = eidx - c * BT
-            onehot = ((jax.lax.broadcasted_iota(jnp.int32, (BN, BT), 1)
-                       == local[:, None]) & in_chunk[:, None])
+            local = jnp.where(in_chunk, eidx - c * BT, -1)  # -1 matches none
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (BN, BT), 1)
+                      == local[:, None]).astype(jnp.float32)
             rows = table_ref[pl.ds(c * BT, BT), :]
             got = jax.lax.dot_general(
-                onehot.astype(jnp.float32), rows,
+                onehot, rows,
                 (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
@@ -277,10 +287,14 @@ def _make_kernel(config: RenderConfig, n_chunks: int, n_mats: int):
                 tp_y = jnp.where(survive, tp_y * f.y * scale, tp_y)
                 tp_z = jnp.where(survive, tp_z * f.z * scale, tp_z)
                 active = survive
-                # Park dead rays so the next sweep's culling skips them.
+                # Park dead rays (position far out, direction outward) so
+                # the next sweep's chunk culling skips them entirely.
                 ox = jnp.where(active, ox, 1e9)
                 oy = jnp.where(active, oy, 1e9)
                 oz = jnp.where(active, oz, 1e9)
+                dx = jnp.where(active, dx, 0.5773503)
+                dy = jnp.where(active, dy, 0.5773503)
+                dz = jnp.where(active, dz, 0.5773503)
 
         r_ref[i, :] = rad_x
         g_ref[i, :] = rad_y

@@ -31,19 +31,72 @@ _MISS = 1e9  # python float: jnp constants would be captured by the kernel
 
 
 def _kernel(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref,
-            t_ref, idx_ref, *, n_chunks):
-    """One ray block per grid step; fori over Morton chunks with per-block
-    AABB culling INSIDE the kernel (a skipped chunk costs a branch, not a
-    grid step — essential once chunk counts grow)."""
-    from gdpathtracing_tpu.ops.fused_pallas import _sweep
+            t_ref, idx_ref):
     i = pl.program_id(0)
-    ox, oy, oz = o4_ref[0, :], o4_ref[1, :], o4_ref[2, :]
-    dx, dy, dz = d4_ref[0, :], d4_ref[1, :], d4_ref[2, :]
-    active = jnp.ones((BN,), bool)
-    t, eidx = _sweep(chunk_ref, mu_ref, mv_ref, mw_ref, n_chunks,
-                     ox, oy, oz, dx, dy, dz, active)
-    t_ref[i, :] = t
-    idx_ref[i, :] = eidx
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[i, :] = jnp.full((t_ref.shape[1],), _MISS, jnp.float32)
+        idx_ref[i, :] = jnp.zeros((idx_ref.shape[1],), jnp.int32)
+
+    o4 = o4_ref[...]  # (4, BN)
+    d4 = d4_ref[...]
+    cur = t_ref[i, :]
+
+    # Chunk culling: slab-test every ray in the block against this chunk's
+    # AABB (~25 ops on (BN,) vs ~20 ops on (BN, BT) for the full sweep).
+    # Chunks are Morton-compact, so most (ray-block × chunk) tiles skip.
+    # Bounds come in as a scalar-prefetch arg (SMEM): 6 scalars per chunk.
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
+    rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
+    rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
+    base = j * 8
+    tx1 = (chunk_ref[base + 0] - ox) * rdx
+    tx2 = (chunk_ref[base + 3] - ox) * rdx
+    ty1 = (chunk_ref[base + 1] - oy) * rdy
+    ty2 = (chunk_ref[base + 4] - oy) * rdy
+    tz1 = (chunk_ref[base + 2] - oz) * rdz
+    tz2 = (chunk_ref[base + 5] - oz) * rdz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+
+    @pl.when(jnp.any(may_hit))
+    def _():
+        mu = mu_ref[...]  # (4, BT)
+        mv = mv_ref[...]
+        mw = mw_ref[...]
+
+        def mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        t = jnp.where(valid, t, _MISS)
+
+        tk = jnp.min(t, axis=1)                      # (BN,)
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
+
+        better = tk < cur
+        t_ref[i, :] = jnp.where(better, tk, cur)
+        idx_ref[i, :] = jnp.where(better, j * BT + k, idx_ref[i, :])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -52,26 +105,29 @@ def _closest_hit(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
     N % BN == 0, E % BT == 0. Returns (t, idx) each (N,)."""
     n = o4t.shape[1]
     e = mu.shape[1]
-    n_chunks = e // BT
-    gr = n // BN
+    grid = (n // BN, e // BT)
+    gr = grid[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # chunk bounds → SMEM
-        grid=(gr,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((4, BN), lambda i, *_: (0, i)),
-            pl.BlockSpec((4, BN), lambda i, *_: (0, i)),
-            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
-            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
-            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((gr, BN), lambda i, *_: (0, 0))
+            # Full-array blocks (TPU blocks need sublane multiples of 8;
+            # a (1, BN) row block is not lowerable). The whole output stays
+            # VMEM-resident; each grid step writes its own row i.
+            pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))
             for _ in range(2)
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_chunks=n_chunks),
+        _kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((gr, BN), jnp.float32),
@@ -156,84 +212,84 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
 
 
 def _occlusion_kernel(chunk_ref, o4_ref, d4_ref, tmax_ref, mu_ref, mv_ref,
-                      mw_ref, occ_ref, *, n_chunks):
+                      mw_ref, occ_ref):
     i = pl.program_id(0)
-    ox, oy, oz = o4_ref[0, :], o4_ref[1, :], o4_ref[2, :]
-    dx, dy, dz = d4_ref[0, :], d4_ref[1, :], d4_ref[2, :]
-    t_max = tmax_ref[i, :]
+    j = pl.program_id(1)
 
+    @pl.when(j == 0)
+    def _():
+        occ_ref[i, :] = jnp.zeros((occ_ref.shape[1],), jnp.int32)
+
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    t_max = tmax_ref[i, :]
+    occ = occ_ref[i, :]
+
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
     rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
     rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
     rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
-    o4 = jnp.stack([ox, oy, oz, jnp.ones_like(ox)], axis=0)
-    d4 = jnp.stack([dx, dy, dz, jnp.zeros_like(dx)], axis=0)
+    base = j * 8
+    tx1 = (chunk_ref[base + 0] - ox) * rdx
+    tx2 = (chunk_ref[base + 3] - ox) * rdx
+    ty1 = (chunk_ref[base + 1] - oy) * rdy
+    ty2 = (chunk_ref[base + 4] - oy) * rdy
+    tz1 = (chunk_ref[base + 2] - oz) * rdz
+    tz2 = (chunk_ref[base + 5] - oz) * rdz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & (occ == 0)
 
-    def body(c, occ):
-        base = c * 8
-        tx1 = (chunk_ref[base + 0] - ox) * rdx
-        tx2 = (chunk_ref[base + 3] - ox) * rdx
-        ty1 = (chunk_ref[base + 1] - oy) * rdy
-        ty2 = (chunk_ref[base + 4] - oy) * rdy
-        tz1 = (chunk_ref[base + 2] - oz) * rdz
-        tz2 = (chunk_ref[base + 5] - oz) * rdz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                       jnp.minimum(ty1, ty2)),
-                           jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                       jnp.maximum(ty1, ty2)),
-                           jnp.maximum(tz1, tz2))
-        may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & (occ == 0)
+    @pl.when(jnp.any(may_hit))
+    def _():
+        mu = mu_ref[...]
+        mv = mv_ref[...]
+        mw = mw_ref[...]
 
-        def hit_case(occ):
-            sl = pl.ds(c * BT, BT)
-            mu = mu_ref[:, sl]
-            mv = mv_ref[:, sl]
-            mw = mw_ref[:, sl]
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
 
-            def mm(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-
-            u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
-            u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
-            wd_ok = jnp.abs(w_d) > _WD_EPS
-            inv_wd = jnp.where(wd_ok, w_d, 1.0)
-            t = -w_o / inv_wd
-            u = u_o + t * u_d
-            v = v_o + t * v_d
-            blocked = wd_ok & (t > 0.0) & (t < t_max[:, None]) & \
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            return occ | jnp.any(blocked, axis=1).astype(jnp.int32)
-
-        return jax.lax.cond(jnp.any(may_hit), hit_case, lambda o: o, occ)
-
-    occ = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((BN,), jnp.int32))
-    occ_ref[i, :] = occ
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        blocked = wd_ok & (t > 0.0) & (t < t_max[:, None]) & (u >= 0.0) & \
+            (v >= 0.0) & (u + v <= 1.0)
+        occ_ref[i, :] = occ | jnp.any(blocked, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
     n = o4t.shape[1]
     e = mu.shape[1]
-    n_chunks = e // BT
-    gr = n // BN
+    grid = (n // BN, e // BT)
+    gr = grid[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(gr,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((4, BN), lambda i, *_: (0, i)),
-            pl.BlockSpec((4, BN), lambda i, *_: (0, i)),
-            pl.BlockSpec((gr, BN), lambda i, *_: (0, 0)),
-            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
-            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
-            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
         ],
-        out_specs=[pl.BlockSpec((gr, BN), lambda i, *_: (0, 0))],
+        out_specs=[pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))],
     )
     (occ,) = pl.pallas_call(
-        functools.partial(_occlusion_kernel, n_chunks=n_chunks),
+        _occlusion_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32)],
         interpret=interpret,
