@@ -71,7 +71,9 @@ def main() -> None:
     t0 = time.time()
     for f in range(1, args.frames + 1):
         aovs = step(scene, camera, f)
-    aovs.radiance.block_until_ready()
+    # Full device→host transfer as the barrier: on this runtime
+    # block_until_ready can return before execution completes.
+    np.asarray(aovs.radiance)
     dt = time.time() - t0
 
     rays_per_s = segments * args.frames / dt

@@ -332,3 +332,56 @@ def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
     if active is not None:
         out = out & active
     return out
+
+
+# ---------------------------------------------------------------------------
+# Experimental: in-kernel chunk-loop closest hit (fori + cond sweep shared
+# with the fused megakernel). Transfer-verified on TPU: matches the
+# grid-step kernel (99.9999% of rays) but is ~2.8x SLOWER on coherent
+# 1080p camera rays (taken-branch lowering cost) — kept for reference and
+# for sparse/incoherent workloads where its skips win.
+# ---------------------------------------------------------------------------
+
+def _kernel_loop(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref,
+                 t_ref, idx_ref, *, n_chunks):
+    from gdpathtracing_tpu.ops.fused_pallas import _sweep
+    i = pl.program_id(0)
+    ox, oy, oz = o4_ref[0, :], o4_ref[1, :], o4_ref[2, :]
+    dx, dy, dz = d4_ref[0, :], d4_ref[1, :], d4_ref[2, :]
+    active = jnp.ones((BN,), bool)
+    t, eidx = _sweep(chunk_ref, mu_ref, mv_ref, mw_ref, n_chunks,
+                     ox, oy, oz, dx, dy, dz, active)
+    t_ref[i, :] = t
+    idx_ref[i, :] = eidx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_hit_loop(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
+    n = o4t.shape[1]
+    e = mu.shape[1]
+    n_chunks = e // BT
+    gr = n // BN
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gr,),
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, *_: (0, i)),
+            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
+            pl.BlockSpec((4, e), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((gr, BN), lambda i, *_: (0, 0))
+                   for _ in range(2)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_loop, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((gr, BN), jnp.float32),
+            jax.ShapeDtypeStruct((gr, BN), jnp.int32),
+        ],
+        interpret=interpret,
+    )(chunk_bounds.T.reshape(-1), o4t, d4t, mu, mv, mw)
+    t, idx = (a.reshape(-1) for a in out)
+    return t, idx
