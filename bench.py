@@ -55,26 +55,47 @@ def main() -> None:
     config = RenderConfig(bounces=args.bounces, spp=args.spp,
                           traversal=traversal)
 
-    step = jax.jit(lambda s, c, f: render_radiance(s, c, config, f))
+    # All frames run inside ONE jitted program (lax.scan): per-dispatch
+    # tunnel latency (~25 ms floor, ~300 ms for multi-output pytrees on
+    # this runtime) never pollutes the compute measurement. The barrier is
+    # a full device→host transfer of the last frame's radiance —
+    # block_until_ready can return early on this runtime.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(s, c, frames):
+        def body(carry, f):
+            aovs = render_radiance(s, c, config, f)
+            # Carry the image (donated in place) instead of stacking
+            # per-frame AOVs — stacked multi-frame outputs measured
+            # pathologically slow on this runtime.
+            return (aovs.radiance, aovs.segments), ()
+        (rad, segs), _ = jax.lax.scan(
+            body, (jnp.zeros((c.height, c.width, 3), jnp.float32),
+                   jnp.zeros((c.height, c.width), jnp.int32)),
+            jnp.asarray(frames, jnp.uint32))
+        return rad, segs
 
     if args.verbose:
         print(f"compiling ({traversal.value}, {args.width}x{args.height}, "
               f"{args.bounces} bounces)...", file=sys.stderr)
     t0 = time.time()
-    aovs = step(scene, camera, 0)
-    aovs.radiance.block_until_ready()
+    rad, segs = run(scene, camera, [0] * args.frames)
+    rad_np = np.asarray(rad)
+    assert np.isfinite(rad_np).all()
     if args.verbose:
-        print(f"compile+first frame: {time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"compile+warmup ({args.frames} frames): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    segments = float(np.asarray(aovs.segments, dtype=np.float64).sum())
+    segments = float(np.asarray(segs, dtype=np.float64).sum())
 
     t0 = time.time()
-    for f in range(1, args.frames + 1):
-        aovs = step(scene, camera, f)
-    # Full device→host transfer as the barrier: on this runtime
-    # block_until_ready can return before execution completes.
-    np.asarray(aovs.radiance)
+    rad, _ = run(scene, camera, list(range(1, args.frames + 1)))
+    np.asarray(rad)
     dt = time.time() - t0
+    if args.verbose:
+        print(f"{dt / args.frames * 1e3:.1f} ms/frame "
+              f"({segments/1e6:.2f} M segments)", file=sys.stderr)
 
     rays_per_s = segments * args.frames / dt
     mrays = rays_per_s / 1e6

@@ -144,9 +144,259 @@ def _closest_hit(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
     return t, idx
 
 
+# ---------------------------------------------------------------------------
+# Rows-returning closest-hit: the kernel selects the winner's barycentrics
+# AND fetches its complete shading/material/light row in VMEM (per-tile
+# one-hot MXU matmuls against a resident (40, E) table), so the bounce loop
+# needs ZERO per-ray XLA gathers afterwards. TPU gathers measured 0.6-1.8 ms
+# per 256k rays each; this replaces ~6 of them per bounce with ~0.5 ms of
+# in-kernel matmul work.
+# ---------------------------------------------------------------------------
+
+TAB_R = 40   # table rows (sublane-aligned)
+OUT_R = 48   # output rows: 0:40 table | 40 t | 41 u | 42 v | 43 w_d | 44 eidx
+
+
+def build_trace_table(scene: Scene) -> jnp.ndarray:
+    """(40, E) f32 per-expanded-triangle table, built in-graph (hoist it
+    out of the bounce loop by calling once per traced program):
+
+      0:9   world shading normals n0, n1, n2
+      9:15  uv0, uv1, uv2
+      15    global triangle index (float-exact: tri < 2^24)
+      16    instance index (float)
+      17:30 material row [albedo3, emission3, energy, metallic, roughness,
+            tex, transmission, ior, mr_tex] — live values, folded per
+            expanded triangle (primal path only; autodiff uses UNIT)
+      30    NEE pdf term pick_prob/area (0 = not an emitter)
+      31:34 emitter geometric normal
+      34:40 zero padding
+    """
+    e = scene.isect_shade.shape[0]
+    shade = scene.isect_shade  # (E, 16)
+    mat_id = shade[:, 15].astype(jnp.int32)
+    mat_tbl = jnp.concatenate([
+        scene.mat_albedo, scene.mat_emission,
+        scene.mat_emission_energy[:, None], scene.mat_metallic[:, None],
+        scene.mat_roughness[:, None],
+        scene.mat_tex.astype(jnp.float32)[:, None],
+        scene.mat_transmission[:, None], scene.mat_ior[:, None],
+        scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)  # (M, 13)
+    mats = mat_tbl[mat_id]  # (E, 13) — E-sized gather, traced once
+
+    if scene.n_lights > 0:
+        from gdpathtracing_tpu.render.lights import build_light_table
+        lt = build_light_table(scene)
+        li = jnp.clip(scene.isect_light, 0, lt.area.shape[0] - 1)
+        is_l = (scene.isect_light >= 0).astype(jnp.float32)
+        inv_term = (lt.pick_prob[li] / jnp.maximum(lt.area[li], 1e-8)) * is_l
+        lnx = lt.normal.x[li] * is_l
+        lny = lt.normal.y[li] * is_l
+        lnz = lt.normal.z[li] * is_l
+        light_cols = jnp.stack([inv_term, lnx, lny, lnz], axis=1)
+    else:
+        light_cols = jnp.zeros((e, 4), jnp.float32)
+
+    tab = jnp.concatenate([
+        shade[:, 0:15],
+        scene.isect_tri.astype(jnp.float32)[:, None],
+        scene.isect_inst.astype(jnp.float32)[:, None],
+        mats,
+        light_cols,
+        jnp.zeros((e, TAB_R - 34), jnp.float32),
+    ], axis=1)  # (E, 40)
+    return tab.T
+
+
+def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,
+                 out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((OUT_R, out_ref.shape[1]), jnp.float32)
+        out_ref[40, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
+
+    o4 = o4_ref[...]  # (4, BN)
+    d4 = d4_ref[...]
+    cur = out_ref[40, :]
+
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
+    rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
+    rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
+    base = j * 8
+    tx1 = (chunk_ref[base + 0] - ox) * rdx
+    tx2 = (chunk_ref[base + 3] - ox) * rdx
+    ty1 = (chunk_ref[base + 1] - oy) * rdy
+    ty2 = (chunk_ref[base + 4] - oy) * rdy
+    tz1 = (chunk_ref[base + 2] - oz) * rdz
+    tz2 = (chunk_ref[base + 5] - oz) * rdz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+
+    @pl.when(jnp.any(may_hit))
+    def _():
+        mu = mu_ref[...]  # (4, BT)
+        mv = mv_ref[...]
+        mw = mw_ref[...]
+
+        def mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        t = jnp.where(valid, t, _MISS)
+
+        tk = jnp.min(t, axis=1)                      # (BN,)
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
+        better = tk < cur
+        bf = better.astype(jnp.float32)
+
+        # Winner one-hot (f32: Mosaic only inserts minor dims for 32-bit
+        # types, so the bool mask rides along as a multiply).
+        bn, bt = t.shape
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (bn, bt), 1)
+                  == k[:, None]).astype(jnp.float32) * bf[:, None]
+
+        u_w = jnp.sum(u * onehot, axis=1)
+        v_w = jnp.sum(v * onehot, axis=1)
+        wd_w = jnp.sum(w_d * onehot, axis=1)
+
+        # Winner's table row: (40, BT) x (BN, BT)ᵀ → (40, BN) on the MXU.
+        rows = jax.lax.dot_general(
+            tab_ref[:, pl.ds(j * bt, bt)], onehot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+        old = out_ref[0:TAB_R, :]
+        bf_row = bf[None, :]
+        out_ref[0:TAB_R, :] = old + (rows - old) * bf_row
+        out_ref[40, :] = jnp.where(better, tk, cur)
+        out_ref[41, :] = jnp.where(better, u_w, out_ref[41, :])
+        out_ref[42, :] = jnp.where(better, v_w, out_ref[42, :])
+        out_ref[43, :] = jnp.where(better, wd_w, out_ref[43, :])
+        out_ref[44, :] = jnp.where(
+            better, (j * bt + k).astype(jnp.float32), out_ref[44, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
+                      interpret=False):
+    """o4t/d4t: (4, N); tab: (40, E). Returns (OUT_R, N) packed hit rows.
+    The output is written directly in (48, N) layout — block (48, BN) at
+    column i — so consumers slice contiguous component rows with no
+    transpose, and VMEM use stays constant in N (unlike the full-array
+    (gr, BN) blocks of `_closest_hit`): arbitrarily large wavefronts fit
+    one kernel call."""
+    n = o4t.shape[1]
+    e = mu.shape[1]
+    grid = (n // BN, e // BT)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((TAB_R, e), lambda i, j, *_: (0, 0)),  # resident
+        ],
+        out_specs=[
+            pl.BlockSpec((OUT_R, BN), lambda i, j, *_: (0, i)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _kernel_rows,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 6 * 4 * n * e + 12 * n * e + 2 * TAB_R * n * e,
+            bytes_accessed=(2 * 4 * n + 3 * 4 * e + TAB_R * e
+                            + OUT_R * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_bounds.T.reshape(-1), o4t, d4t, mu, mv, mw, tab)
+    return out
+
+
 def trace_pallas(scene: Scene, ray: Ray, active=None,
-                 interpret: bool = False) -> HitInfo:
-    """HitInfo-producing wrapper (pads the wavefront to BN)."""
+                 interpret: bool = False, table=None) -> HitInfo:
+    """HitInfo-producing wrapper over the rows kernel (pads to BN). The
+    returned HitInfo carries `rows` — the packed per-winner shading/
+    material/light data — so shading and NEE-MIS run gather-free
+    (render/shading.py:shading_from_rows, render/lights.py). Pass a
+    precomputed `table` (build_trace_table) to hoist table assembly out
+    of the bounce loop."""
+    n = ray.o.x.shape[0]
+    n_pad = -(-n // BN) * BN
+
+    ox, oy, oz = ray.o.x, ray.o.y, ray.o.z
+    dx, dy, dz = ray.d.x, ray.d.y, ray.d.z
+    if active is not None:
+        # Park dead rays far outside the scene pointing away — every chunk
+        # slab test fails, so whole tiles of terminated paths are skipped.
+        far, s3 = 1e9, 0.5773503
+        ox = jnp.where(active, ox, far)
+        oy = jnp.where(active, oy, far)
+        oz = jnp.where(active, oz, far)
+        dx = jnp.where(active, dx, s3)
+        dy = jnp.where(active, dy, s3)
+        dz = jnp.where(active, dz, s3)
+
+    def pad(x, value=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=value)
+
+    o4t = jnp.stack([pad(ox, 1e9), pad(oy, 1e9), pad(oz, 1e9),
+                     pad(ox * 0 + 1.0)], axis=0)
+    d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
+                     pad(dx * 0)], axis=0)
+
+    if table is None:
+        table = build_trace_table(scene)
+    rows = _closest_hit_rows(o4t, d4t, scene.isect_chunk_bounds,
+                             scene.isect_mu, scene.isect_mv, scene.isect_mw,
+                             table, interpret=interpret)[:, :n]
+
+    t = rows[40]
+    hit = t < MISS_T
+    u = jnp.clip(rows[41], 0.0, 1.0)
+    v = jnp.clip(rows[42], 0.0, 1.0)
+    front = rows[43] < 0.0
+    eidx = rows[44].astype(jnp.int32)
+    tri = rows[15].astype(jnp.int32)
+    inst = rows[16].astype(jnp.int32)
+    if active is not None:
+        t = jnp.where(active, t, MISS_T)
+    steps = (ray.o.x * 0.0).astype(jnp.int32) + scene.isect_mu.shape[1]
+    return HitInfo(t=t, tri=tri, inst=inst, u=u, v=v,
+                   front=front, steps=steps, eidx=eidx, rows=rows)
+
+
+def trace_pallas_classic(scene: Scene, ray: Ray, active=None,
+                         interpret: bool = False) -> HitInfo:
+    """Original wrapper over the t/idx kernel + XLA gather epilogue (kept
+    as a reference implementation and for the kernel's own tests)."""
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
 

@@ -53,7 +53,7 @@ def make_mesh(devices=None) -> Mesh:
 def _trace_pixels(scene: Scene, camera: Camera, pids: jnp.ndarray,
                   frame_index, config: RenderConfig):
     """Trace a flat batch of pixel ids → (rgb (n,3), depth (n,), steps (n,))."""
-    trace_fn = get_trace_fn(config)
+    trace_fn = get_trace_fn(config, scene)
     px = (pids % camera.width).astype(jnp.uint32)
     py = (pids // camera.width).astype(jnp.uint32)
     n = pids.shape[0]

@@ -33,7 +33,11 @@ from gdpathtracing_tpu.scene.scene import Scene
 TraceFn = Callable[[Scene, Ray, jnp.ndarray], HitInfo]
 
 
-def get_trace_fn(config: RenderConfig) -> TraceFn:
+def get_trace_fn(config: RenderConfig, scene: Scene | None = None
+                 ) -> TraceFn:
+    """Build the traversal closure. Passing `scene` lets the pallas
+    backend assemble its per-triangle table ONCE (outside the bounce/tile
+    loops) instead of per trace call."""
     if config.traversal == Traversal.BRUTE:
         return lambda scene, ray, active: trace_brute(scene, ray, active)
     if config.traversal == Traversal.BVH:
@@ -44,8 +48,11 @@ def get_trace_fn(config: RenderConfig) -> TraceFn:
         from gdpathtracing_tpu.render.intersect import trace_unit
         return lambda scene, ray, active: trace_unit(scene, ray, active)
     if config.traversal == Traversal.PALLAS:
-        from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
-        return lambda scene, ray, active: trace_pallas(scene, ray, active)
+        from gdpathtracing_tpu.ops.intersect_pallas import (
+            build_trace_table, trace_pallas)
+        table = build_trace_table(scene) if scene is not None else None
+        return lambda scene, ray, active: trace_pallas(scene, ray, active,
+                                                       table=table)
     if config.traversal == Traversal.FUSED:
         return None  # path_trace dispatches to the megakernel directly
     raise ValueError(config.traversal)
@@ -80,7 +87,7 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                 "use PALLAS")
         return path_trace_fused(scene, ray, seed, config, far=far)
     if trace_fn is None:
-        trace_fn = get_trace_fn(config)
+        trace_fn = get_trace_fn(config, scene)
     n = ray.o.x.shape[0]
     f32 = jnp.float32
 
@@ -105,8 +112,12 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         if use_nee:
             # MIS weight for BRDF-sampled emitter pickup (camera rays and
             # sky keep weight 1; prev_pdf < 0 marks "not a BRDF sample").
-            pl = lights_mod.light_pdf_of_hit(light_table, scene, hit.inst,
-                                             hit.tri, r.d, hit.t)
+            if hit.rows is not None:  # pallas rows: gather-free pdf
+                pl = lights_mod.light_pdf_from_rows(hit.rows, r.d, hit.t)
+            else:
+                pl = lights_mod.light_pdf_of_hit(light_table, scene,
+                                                 hit.inst, hit.tri,
+                                                 r.d, hit.t)
             pb = jnp.maximum(prev_pdf, 0.0)
             w_mis = jnp.where(
                 (prev_pdf > 0.0) & is_hit & (pl > 0.0),

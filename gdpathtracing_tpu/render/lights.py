@@ -29,6 +29,10 @@ class LightTable(NamedTuple):
     emission: Vec3    # (L,) radiance (rgb * energy)
     pick_prob: jnp.ndarray  # (L,)
     cdf: jnp.ndarray        # (L,)
+    # Packed (L, 17) rows [v0(3), e1(3), e2(3), n(3), emission(3), area,
+    # pick_prob] — sample_light fetches the picked emitter with ONE row
+    # gather instead of 12 scalar gathers (TPU gathers dominate otherwise).
+    rows: jnp.ndarray = None
 
 
 def build_light_table(scene: Scene) -> "LightTable | None":
@@ -61,7 +65,12 @@ def build_light_table(scene: Scene) -> "LightTable | None":
     total = jnp.maximum(jnp.sum(power), _EPS)
     pick = power / total
     cdf = jnp.cumsum(pick)
-    return LightTable(v0, v1, v2, normal, area, emission, pick, cdf)
+    e1, e2 = v1 - v0, v2 - v0
+    rows = jnp.stack([
+        v0.x, v0.y, v0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z,
+        normal.x, normal.y, normal.z,
+        emission.x, emission.y, emission.z, area, pick], axis=1)
+    return LightTable(v0, v1, v2, normal, area, emission, pick, cdf, rows)
 
 
 class LightSample(NamedTuple):
@@ -80,26 +89,42 @@ def sample_light(table: LightTable, position: Vec3, r_pick, r1, r2
     l = jnp.searchsorted(table.cdf, r_pick)
     l = jnp.clip(l, 0, table.cdf.shape[0] - 1)
 
-    def g(v: Vec3) -> Vec3:
-        return Vec3(v.x[l], v.y[l], v.z[l])
+    r = table.rows[l]  # (N, 17) — ONE row gather for all emitter data
+    v0 = Vec3(r[:, 0], r[:, 1], r[:, 2])
+    e1 = Vec3(r[:, 3], r[:, 4], r[:, 5])
+    e2 = Vec3(r[:, 6], r[:, 7], r[:, 8])
+    normal = Vec3(r[:, 9], r[:, 10], r[:, 11])
+    emission = Vec3(r[:, 12], r[:, 13], r[:, 14])
+    area = r[:, 15]
+    pick = r[:, 16]
 
-    v0, v1, v2 = g(table.v0), g(table.v1), g(table.v2)
     su = jnp.sqrt(r1)
-    b0 = 1.0 - su
-    b1 = r2 * su
-    point = v0 * b0 + v1 * b1 + v2 * (1.0 - b0 - b1)
-    normal = g(table.normal)
-    emission = g(table.emission)
+    b1 = r2 * su                 # v1 weight (same mapping as before:
+    b2 = su * (1.0 - r2)         # v0 gets 1-su, v2 gets su(1-r2))
+    point = v0 + e1 * b1 + e2 * b2
 
     delta = point - position
     dist2 = jnp.maximum(delta.length_sq(), _EPS)
     dist = jnp.sqrt(dist2)
     wi = delta * (1.0 / dist)
     cos_l = jnp.abs(normal.dot(-wi))  # double-sided emitter
-    pdf_solid = dist2 / jnp.maximum(cos_l * table.area[l], _EPS) * \
-        table.pick_prob[l]
+    pdf_solid = dist2 / jnp.maximum(cos_l * area, _EPS) * pick
     pdf_solid = jnp.where(cos_l > 1e-6, pdf_solid, jnp.inf)  # grazing → no light
     return LightSample(point, normal, emission, pdf_solid, wi, dist)
+
+
+def light_pdf_from_rows(hit_rows: jnp.ndarray, ray_dir: Vec3, t
+                        ) -> jnp.ndarray:
+    """Gather-free variant of light_pdf_of_hit for pallas-rows hits: the
+    winner's emitter pdf term (pick_prob/area, 0 when not a light) and
+    geometric normal ride in rows 30-33 of the packed hit rows
+    (ops/intersect_pallas.py build_trace_table)."""
+    inv_term = hit_rows[30]
+    cos_l = jnp.abs(hit_rows[31] * ray_dir.x + hit_rows[32] * ray_dir.y
+                    + hit_rows[33] * ray_dir.z)
+    dist2 = jnp.maximum(t * t, _EPS)
+    pdf = dist2 * inv_term / jnp.maximum(cos_l, 1e-6)
+    return jnp.where((inv_term > 0.0) & (cos_l > 1e-6), pdf, 0.0)
 
 
 def light_pdf_of_hit(table: LightTable, scene: Scene, hit_inst, hit_tri,

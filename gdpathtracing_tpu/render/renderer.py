@@ -49,7 +49,7 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
 
     pixel_ids = jnp.arange(padded, dtype=jnp.int32) % n_pix
     tiles = pixel_ids.reshape(n_tiles, tile)
-    trace_fn = get_trace_fn(config)
+    trace_fn = get_trace_fn(config, scene)
     frame_index = jnp.asarray(frame_index, dtype=jnp.uint32)
 
     def do_tile(pids):

@@ -83,18 +83,20 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
         scene.mat_ior[:, None],
         scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)[mat_id]
     albedo = Vec3(mat_rows[:, 0], mat_rows[:, 1], mat_rows[:, 2])
-    tex_idx = mat_rows[:, 9].astype(jnp.int32)
-    albedo = albedo * sample_texture_array(scene.textures, tex_idx,
-                                           uv_u, uv_v)
+    if scene.has_textures:  # static: skip the 4 bilinear gathers otherwise
+        tex_idx = mat_rows[:, 9].astype(jnp.int32)
+        albedo = albedo * sample_texture_array(scene.textures, tex_idx,
+                                               uv_u, uv_v)
     energy = jnp.maximum(0.0, mat_rows[:, 6])
     emission = Vec3(mat_rows[:, 3] * energy, mat_rows[:, 4] * energy,
                     mat_rows[:, 5] * energy)
     metallic = mat_rows[:, 7]
     roughness = mat_rows[:, 8]
-    mr_idx = mat_rows[:, 12].astype(jnp.int32)
-    mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
-    roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
-    metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
+    if scene.has_mr_textures:
+        mr_idx = mat_rows[:, 12].astype(jnp.int32)
+        mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
+        roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
+        metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
     position = ray.at(hit.t)
     out_dir = -ray.d
     fresnel_0 = Vec3.full(0.02, like=albedo) + \
@@ -109,12 +111,61 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
         transmission=mat_rows[:, 10], ior=mat_rows[:, 11], albedo=albedo)
 
 
+def shading_from_rows(scene: Scene, hit: HitInfo, ray: Ray) -> ShadingInfo:
+    """Gather-FREE shading fetch: all per-hit data (normals, uvs,
+    material values) arrives pre-selected in ``hit.rows`` — fetched by the
+    pallas rows kernel via in-VMEM one-hot matmuls (see
+    ops/intersect_pallas.py build_trace_table for the row layout). Only
+    texture sampling still gathers (and only when the scene is textured).
+    Same math as get_shading_data_fast."""
+    r = hit.rows  # (48, N)
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    normal = Vec3(
+        r[0] * w + r[3] * u + r[6] * v,
+        r[1] * w + r[4] * u + r[7] * v,
+        r[2] * w + r[5] * u + r[8] * v,
+    ).normalize(eps=1e-20)
+    normal = vwhere(hit.front, normal, -normal)
+    uv_u = r[9] * w + r[11] * u + r[13] * v
+    uv_v = r[10] * w + r[12] * u + r[14] * v
+
+    albedo = Vec3(r[17], r[18], r[19])
+    if scene.has_textures:
+        tex_idx = r[26].astype(jnp.int32)
+        albedo = albedo * sample_texture_array(scene.textures, tex_idx,
+                                               uv_u, uv_v)
+    energy = jnp.maximum(0.0, r[23])
+    emission = Vec3(r[20] * energy, r[21] * energy, r[22] * energy)
+    metallic = r[24]
+    roughness = r[25]
+    if scene.has_mr_textures:
+        mr_idx = r[29].astype(jnp.int32)
+        mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
+        roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
+        metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
+    position = ray.at(hit.t)
+    out_dir = -ray.d
+    fresnel_0 = Vec3.full(0.02, like=albedo) + \
+        (albedo - Vec3.full(0.02, like=albedo)) * metallic
+    diffuse_albedo = albedo - albedo * metallic
+    roughness = jnp.maximum(MIN_ROUGHNESS, roughness)
+    return ShadingInfo(
+        position=position, normal=normal, out_dir=out_dir,
+        lambert_out=normal.dot(out_dir), emission=emission,
+        diffuse_albedo=diffuse_albedo, fresnel_0=fresnel_0,
+        roughness=roughness,
+        transmission=r[27], ior=r[28], albedo=albedo)
+
+
 def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
                      fast: bool = False) -> ShadingInfo:
     """main.glsl:194-222. `ray` is the world-space ray (out_dir = -d is
     already world-space here, unlike the reference which stores an
     object-space out_dir and re-transforms it at main.glsl:201 — same
     result, one transform cheaper)."""
+    if hit.rows is not None:
+        return shading_from_rows(scene, hit, ray)
     if fast:
         return get_shading_data_fast(scene, hit, ray)
     tri = hit.tri
@@ -150,8 +201,10 @@ def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
 
     albedo = Vec3(scene.mat_albedo[mat_id, 0], scene.mat_albedo[mat_id, 1],
                   scene.mat_albedo[mat_id, 2])
-    tex_idx = scene.mat_tex[mat_id]
-    albedo = albedo * sample_texture_array(scene.textures, tex_idx, uv_u, uv_v)
+    if scene.has_textures:
+        tex_idx = scene.mat_tex[mat_id]
+        albedo = albedo * sample_texture_array(scene.textures, tex_idx,
+                                               uv_u, uv_v)
 
     energy = jnp.maximum(0.0, scene.mat_emission_energy[mat_id])
     emission = Vec3(scene.mat_emission[mat_id, 0] * energy,
@@ -160,10 +213,11 @@ def get_shading_data(scene: Scene, hit: HitInfo, ray: Ray,
 
     metallic = scene.mat_metallic[mat_id]
     roughness = scene.mat_roughness[mat_id]
-    mr_idx = scene.mat_mr_tex[mat_id]
-    mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
-    roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
-    metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
+    if scene.has_mr_textures:
+        mr_idx = scene.mat_mr_tex[mat_id]
+        mr = sample_texture_array(scene.textures, mr_idx, uv_u, uv_v)
+        roughness = jnp.where(mr_idx >= 0, roughness * mr.y, roughness)
+        metallic = jnp.where(mr_idx >= 0, metallic * mr.z, metallic)
     fresnel_0 = Vec3.full(0.02, like=albedo) + \
         (albedo - Vec3.full(0.02, like=albedo)) * metallic  # main.glsl:217
     diffuse_albedo = albedo - albedo * metallic              # main.glsl:218

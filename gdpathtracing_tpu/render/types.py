@@ -45,6 +45,10 @@ class HitInfo(NamedTuple):
     eidx: jnp.ndarray    # i32 — expanded-triangle index (-1 when the
     #                      backend doesn't track it; enables the packed
     #                      fast shading fetch)
+    rows: jnp.ndarray | None = None  # (48, N) packed winner rows from the
+    #                      pallas rows kernel (ops/intersect_pallas.py
+    #                      build_trace_table layout); None = backend
+    #                      doesn't provide them → gather-based shading
 
     @classmethod
     def none(cls, shape) -> "HitInfo":

@@ -110,6 +110,11 @@ class Scene:
     # whole shading fetch becomes ONE contiguous-row gather (TPU gathers
     # dominate frame time otherwise; see render/shading.py fast path).
     isect_shade: jnp.ndarray
+    # Per-expanded-triangle light-table index (E,) i32 (-1 = not an
+    # emitter, incl. padding) — lets the NEE MIS pickup pdf be a single
+    # packed-row gather instead of an (N, L) comparison matrix
+    # (render/lights.py).
+    isect_light: jnp.ndarray
     # Emissive (instance, triangle) pairs for NEE (render/lights.py);
     # length max(L, 1) — n_lights is the true count.
     light_inst: jnp.ndarray
@@ -135,6 +140,14 @@ class Scene:
                                       default=False)
     has_transmission: bool = dataclasses.field(metadata=dict(static=True),
                                                default=False)
+    # Static texture presence flags: when False the shading path skips the
+    # bilinear texture gathers entirely (TPU gathers are the dominant
+    # frame cost — sampling a dummy 1-slice array would waste ~8 gathers
+    # per bounce).
+    has_textures: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
+    has_mr_textures: bool = dataclasses.field(metadata=dict(static=True),
+                                              default=False)
 
     @property
     def n_tris(self) -> int:
@@ -458,6 +471,24 @@ class SceneBuilder:
             light_inst = np.zeros(1, np.int32)
             light_tri = np.zeros(1, np.int32)
 
+        # Per-expanded-triangle light index: (inst, tri) → position in the
+        # light table, -1 otherwise. Padding/degenerate rows (zero unit-
+        # space columns) are excluded — they alias (inst 0, tri 0).
+        t_count = blas.tri_pos.shape[0]
+        e_pad = isect_mu.shape[1]
+        if n_lights > 0:
+            lkey = light_inst.astype(np.int64) * t_count + light_tri
+            lorder = np.argsort(lkey, kind="stable")
+            lsorted = lkey[lorder]
+            ekey = isect_inst.astype(np.int64) * t_count + isect_tri
+            pos = np.clip(np.searchsorted(lsorted, ekey), 0,
+                          len(lsorted) - 1)
+            nonpad = np.abs(isect_mw).sum(axis=0) > 0
+            isect_light = np.where((lsorted[pos] == ekey) & nonpad,
+                                   lorder[pos], -1).astype(np.int32)
+        else:
+            isect_light = np.full(e_pad, -1, np.int32)
+
         return Scene(
             tri_pos=jnp.asarray(blas.tri_pos),
             tri_normal=jnp.asarray(blas.tri_normal),
@@ -498,6 +529,7 @@ class SceneBuilder:
                 [jnp.asarray(isect_mu).T, jnp.asarray(isect_mv).T,
                  jnp.asarray(isect_mw).T], axis=1),
             isect_shade=jnp.asarray(isect_shade),
+            isect_light=jnp.asarray(isect_light),
             light_inst=jnp.asarray(light_inst),
             light_tri=jnp.asarray(light_tri),
             n_lights=n_lights,
@@ -506,6 +538,8 @@ class SceneBuilder:
             env_energy=jnp.float32(self._env_energy),
             has_env=self._env is not None,
             has_transmission=bool((mat_trans > 0).any()),
+            has_textures=bool((mat_tex >= 0).any()),
+            has_mr_textures=bool((mat_mr_tex >= 0).any()),
             inst_tri_first=tuple(int(tri_range[i.mesh_id][0])
                                  for i in self._instances),
             inst_tri_count=tuple(int(tri_range[i.mesh_id][1])
