@@ -60,7 +60,43 @@ def main() -> None:
     # this runtime) never pollutes the compute measurement. The barrier is
     # a full device→host transfer of the last frame's radiance —
     # block_until_ready can return early on this runtime.
+    #
+    # Exception: the grid scene times a per-frame host loop — its frames
+    # are seconds (floor error <3%), and the frame-scan + superchunk
+    # kernel combination at 1080p crashes the TPU worker (runtime bug,
+    # see docs/STATUS.md).
     import jax.numpy as jnp
+
+    if args.scene == "grid":
+        step = jax.jit(lambda s, c, f:
+                       render_radiance(s, c, config, f))
+        if args.verbose:
+            print("compiling (grid, host-loop timing)...", file=sys.stderr)
+        t0 = time.time()
+        aovs = step(scene, camera, 0)
+        rad_np = np.asarray(aovs.radiance)
+        assert np.isfinite(rad_np).all()
+        if args.verbose:
+            print(f"compile+first frame: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+        segments = float(np.asarray(aovs.segments, np.float64).sum())
+        dts = []
+        for f in range(1, args.frames + 1):
+            t0 = time.time()
+            np.asarray(step(scene, camera, f).radiance)
+            dts.append(time.time() - t0)
+        dt = min(dts)
+        if args.verbose:
+            print(f"{dt*1e3:.1f} ms/frame ({segments/1e6:.2f} M segments)",
+                  file=sys.stderr)
+        print(json.dumps({
+            "metric": f"Mrays/s/chip primal {args.spp}spp "
+                      f"{args.width}x{args.height} {traversal.value} grid",
+            "value": round(segments / dt / 1e6, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": 1.0,
+        }))
+        return
 
     @jax.jit
     def run(s, c, frames):

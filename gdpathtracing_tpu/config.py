@@ -67,6 +67,11 @@ class RenderConfig:
     nee: bool = False         # next-event estimation + MIS (beyond the
     #                           reference, whose transport is BRDF-sampling
     #                           only — README wishlist item)
+    soft_shadows: float = 0.0  # > 0: differentiable soft-shadow visibility
+    #                           with this barycentric edge width (NEE +
+    #                           BRUTE/UNIT backends; gradients of shadows
+    #                           w.r.t. blocker geometry — the silhouette
+    #                           term hard visibility drops). 0 = hard.
     traversal: Traversal = Traversal.BVH
     jitter: Jitter = Jitter.UNIFORM
     max_stack: int = 64       # traversal stack depth (main.glsl:272,307)

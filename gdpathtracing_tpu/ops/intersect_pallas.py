@@ -15,6 +15,7 @@ the running closest-hit is a free in-VMEM accumulator.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -208,6 +209,84 @@ def build_trace_table(scene: Scene) -> jnp.ndarray:
     return tab.T
 
 
+def _rcp(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+
+
+def _slab(bounds_ref, base, ox, oy, oz, rdx, rdy, rdz):
+    """Slab test of the whole ray block against the AABB at scalar-prefetch
+    offset `base` → (tmin, tmax) per ray."""
+    tx1 = (bounds_ref[base + 0] - ox) * rdx
+    tx2 = (bounds_ref[base + 3] - ox) * rdx
+    ty1 = (bounds_ref[base + 1] - oy) * rdy
+    ty2 = (bounds_ref[base + 4] - oy) * rdy
+    tz1 = (bounds_ref[base + 2] - oz) * rdz
+    tz2 = (bounds_ref[base + 5] - oz) * rdz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                   jnp.minimum(ty1, ty2)),
+                       jnp.minimum(tz1, tz2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                   jnp.maximum(ty1, ty2)),
+                       jnp.maximum(tz1, tz2))
+    return tmin, tmax
+
+
+def _mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _sweep_update(out_ref, o4, d4, mu, mv, mw, tab_chunk, global_base):
+    """Sweep one BT-triangle chunk against the ray block and merge winners
+    into the resident out block. `tab_chunk`: this chunk's (TAB_R, BT)
+    table slice; `global_base`: expanded index of the chunk's first
+    triangle (for the eidx row)."""
+    cur = out_ref[40, :]
+    u_o, v_o, w_o = _mm(o4, mu), _mm(o4, mv), _mm(o4, mw)
+    u_d, v_d, w_d = _mm(d4, mu), _mm(d4, mv), _mm(d4, mw)
+
+    wd_ok = jnp.abs(w_d) > _WD_EPS
+    inv_wd = jnp.where(wd_ok, w_d, 1.0)
+    t = -w_o / inv_wd
+    u = u_o + t * u_d
+    v = v_o + t * v_d
+    valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    t = jnp.where(valid, t, _MISS)
+
+    tk = jnp.min(t, axis=1)                      # (BN,)
+    k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
+    better = tk < cur
+    bf = better.astype(jnp.float32)
+
+    # Winner one-hot (f32: Mosaic only inserts minor dims for 32-bit
+    # types, so the bool mask rides along as a multiply).
+    bn, bt = t.shape
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (bn, bt), 1)
+              == k[:, None]).astype(jnp.float32) * bf[:, None]
+
+    u_w = jnp.sum(u * onehot, axis=1)
+    v_w = jnp.sum(v * onehot, axis=1)
+    wd_w = jnp.sum(w_d * onehot, axis=1)
+
+    # Winner's table row: (40, BT) x (BN, BT)ᵀ → (40, BN) on the MXU.
+    rows = jax.lax.dot_general(
+        tab_chunk, onehot, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    old = out_ref[0:TAB_R, :]
+    bf_row = bf[None, :]
+    out_ref[0:TAB_R, :] = old + (rows - old) * bf_row
+    out_ref[40, :] = jnp.where(better, tk, cur)
+    out_ref[41, :] = jnp.where(better, u_w, out_ref[41, :])
+    out_ref[42, :] = jnp.where(better, v_w, out_ref[42, :])
+    out_ref[43, :] = jnp.where(better, wd_w, out_ref[43, :])
+    out_ref[44, :] = jnp.where(
+        better, (global_base + k).astype(jnp.float32), out_ref[44, :])
+
+
 def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,
                  out_ref):
     j = pl.program_id(1)
@@ -223,78 +302,15 @@ def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,
 
     ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
-    rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
-    rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
-    rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
-    base = j * 8
-    tx1 = (chunk_ref[base + 0] - ox) * rdx
-    tx2 = (chunk_ref[base + 3] - ox) * rdx
-    ty1 = (chunk_ref[base + 1] - oy) * rdy
-    ty2 = (chunk_ref[base + 4] - oy) * rdy
-    tz1 = (chunk_ref[base + 2] - oz) * rdz
-    tz2 = (chunk_ref[base + 5] - oz) * rdz
-    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                   jnp.minimum(ty1, ty2)),
-                       jnp.minimum(tz1, tz2))
-    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                   jnp.maximum(ty1, ty2)),
-                       jnp.maximum(tz1, tz2))
+    tmin, tmax = _slab(chunk_ref, j * 8, ox, oy, oz,
+                       _rcp(dx), _rcp(dy), _rcp(dz))
     may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
 
     @pl.when(jnp.any(may_hit))
     def _():
-        mu = mu_ref[...]  # (4, BT)
-        mv = mv_ref[...]
-        mw = mw_ref[...]
-
-        def mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
-            return jax.lax.dot_general(
-                a, b, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-
-        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
-        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
-
-        wd_ok = jnp.abs(w_d) > _WD_EPS
-        inv_wd = jnp.where(wd_ok, w_d, 1.0)
-        t = -w_o / inv_wd
-        u = u_o + t * u_d
-        v = v_o + t * v_d
-        valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        t = jnp.where(valid, t, _MISS)
-
-        tk = jnp.min(t, axis=1)                      # (BN,)
-        k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
-        better = tk < cur
-        bf = better.astype(jnp.float32)
-
-        # Winner one-hot (f32: Mosaic only inserts minor dims for 32-bit
-        # types, so the bool mask rides along as a multiply).
-        bn, bt = t.shape
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (bn, bt), 1)
-                  == k[:, None]).astype(jnp.float32) * bf[:, None]
-
-        u_w = jnp.sum(u * onehot, axis=1)
-        v_w = jnp.sum(v * onehot, axis=1)
-        wd_w = jnp.sum(w_d * onehot, axis=1)
-
-        # Winner's table row: (40, BT) x (BN, BT)ᵀ → (40, BN) on the MXU.
-        rows = jax.lax.dot_general(
-            tab_ref[:, pl.ds(j * bt, bt)], onehot,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-        old = out_ref[0:TAB_R, :]
-        bf_row = bf[None, :]
-        out_ref[0:TAB_R, :] = old + (rows - old) * bf_row
-        out_ref[40, :] = jnp.where(better, tk, cur)
-        out_ref[41, :] = jnp.where(better, u_w, out_ref[41, :])
-        out_ref[42, :] = jnp.where(better, v_w, out_ref[42, :])
-        out_ref[43, :] = jnp.where(better, wd_w, out_ref[43, :])
-        out_ref[44, :] = jnp.where(
-            better, (j * bt + k).astype(jnp.float32), out_ref[44, :])
+        bt = mu_ref.shape[1]
+        _sweep_update(out_ref, o4, d4, mu_ref[...], mv_ref[...], mw_ref[...],
+                      tab_ref[:, pl.ds(j * bt, bt)], j * bt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -340,14 +356,154 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Two-level (superchunk) variant for large scenes: the flat grid pays one
+# grid step per (ray-block x chunk) even when culled — O(N/BN x E/BT) steps
+# swamps big scenes. Here the grid's minor axis runs over SUPERCHUNKS of
+# SCC chunks: one slab test per superchunk, and only superchunks that pass
+# run an in-kernel fori over their chunks (each chunk pl.when-guarded).
+# ---------------------------------------------------------------------------
+
+SCC = 16  # chunks per superchunk (SCC*BT = 4096 triangles)
+
+
+def _kernel_rows_sc(sc_ref, chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref,
+                    mw_ref, tab_ref, out_ref, *, scc):
+    # The inner chunk loop is STATICALLY UNROLLED: in-kernel
+    # fori_loop/cond kernels fault or hang inside large frame graphs on
+    # this toolchain (observed twice: the round-1 fori+cond sweep, and a
+    # fori+pl.when variant of this kernel crashing the TPU worker), while
+    # straight-line bodies under pl.when are rock solid.
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((OUT_R, out_ref.shape[1]), jnp.float32)
+        out_ref[40, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
+
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
+
+    cur = out_ref[40, :]
+    s_tmin, s_tmax = _slab(sc_ref, j * 8, ox, oy, oz, rdx, rdy, rdz)
+    sc_may = (s_tmax >= s_tmin) & (s_tmax > 0.0) & (s_tmin < cur)
+
+    @pl.when(jnp.any(sc_may))
+    def _():
+        for c in range(scc):  # static unroll
+            cur_c = out_ref[40, :]
+            tmin, tmax = _slab(chunk_ref, (j * scc + c) * 8,
+                               ox, oy, oz, rdx, rdy, rdz)
+            may = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur_c)
+
+            @pl.when(jnp.any(may))
+            def _(c=c):
+                sl = pl.ds(c * BT, BT)
+                _sweep_update(out_ref, o4, d4, mu_ref[:, sl], mv_ref[:, sl],
+                              mw_ref[:, sl], tab_ref[:, sl],
+                              (j * scc + c) * BT)
+
+
+@functools.partial(jax.jit, static_argnames=("scc", "interpret"))
+def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
+                         scc=SCC, interpret=False):
+    n = o4t.shape[1]
+    e = mu.shape[1]
+    nsc = e // (BT * scc)
+    grid = (n // BN, nsc)
+    bts = BT * scc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # superchunk + chunk bounds → SMEM
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, bts), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, bts), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, bts), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((TAB_R, bts), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((OUT_R, BN), lambda i, j, *_: (0, i)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(_kernel_rows_sc, scc=scc),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32)],
+        interpret=interpret,
+    )(sc_flat, chunk_flat, o4t, d4t, mu, mv, mw, tab)
+    return out
+
+
+class _TracePrep(NamedTuple):
+    """Hoisted, kernel-ready trace inputs (build once per traced program
+    via prepare_trace_inputs; cheap E-sized work)."""
+    superchunks: bool
+    mu: jnp.ndarray           # (4, E_pad)
+    mv: jnp.ndarray
+    mw: jnp.ndarray
+    tab: jnp.ndarray          # (40, E_pad)
+    chunk_flat: jnp.ndarray   # (nc_pad*8,) scalar-prefetch chunk bounds
+    sc_flat: jnp.ndarray      # (nsc*8,) superchunk bounds (sc path only)
+
+
+def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
+    """Assemble (and pad, for the superchunk path) the kernel inputs.
+    Scenes with ≤16 chunks use the flat grid (one grid step per chunk —
+    fastest when the whole sweep fits a few steps); larger scenes use the
+    two-level superchunk kernel."""
+    e = scene.isect_mu.shape[1]
+    nc = e // BT
+    tab = build_trace_table(scene)
+    if nc <= 16:
+        return _TracePrep(False, scene.isect_mu, scene.isect_mv,
+                          scene.isect_mw, tab,
+                          scene.isect_chunk_bounds.T.reshape(-1),
+                          jnp.zeros(8, jnp.float32))
+
+    nc_pad = -(-nc // scc) * scc
+    e_pad = nc_pad * BT
+
+    def padr(x):
+        return jnp.pad(x, ((0, 0), (0, e_pad - e)))
+
+    mu, mv, mw = (padr(a) for a in
+                  (scene.isect_mu, scene.isect_mv, scene.isect_mw))
+    tab = padr(tab)
+
+    cb = scene.isect_chunk_bounds  # (8, nc): rows 0-2 min, 3-5 max
+    # Pad chunks get a point box at 1e30³ — the slab test's `tmin < cur`
+    # cull rejects it for every ray (tmin ≥ ~1e20 vs cur ≤ 1e9).
+    pad_box = jnp.concatenate([jnp.full((6, nc_pad - nc), 1e30, jnp.float32),
+                               jnp.zeros((2, nc_pad - nc), jnp.float32)])
+    cb_pad = jnp.concatenate([cb, pad_box], axis=1)
+
+    # Superchunk bounds from REAL chunks only (pad boxes would inflate).
+    nsc = nc_pad // scc
+    real = (jnp.arange(nc_pad) < nc)[None, :]
+    mins = jnp.where(real, cb_pad[0:3], jnp.inf).reshape(3, nsc, scc)
+    maxs = jnp.where(real, cb_pad[3:6], -jnp.inf).reshape(3, nsc, scc)
+    sc = jnp.concatenate([mins.min(axis=2), maxs.max(axis=2),
+                          jnp.zeros((2, nsc), jnp.float32)], axis=0)
+    return _TracePrep(True, mu, mv, mw, tab,
+                      cb_pad.T.reshape(-1), sc.T.reshape(-1))
+
+
 def trace_pallas(scene: Scene, ray: Ray, active=None,
-                 interpret: bool = False, table=None) -> HitInfo:
+                 interpret: bool = False, prep: "_TracePrep | None" = None
+                 ) -> HitInfo:
     """HitInfo-producing wrapper over the rows kernel (pads to BN). The
     returned HitInfo carries `rows` — the packed per-winner shading/
     material/light data — so shading and NEE-MIS run gather-free
     (render/shading.py:shading_from_rows, render/lights.py). Pass a
-    precomputed `table` (build_trace_table) to hoist table assembly out
-    of the bounce loop."""
+    precomputed `prep` (prepare_trace_inputs) to hoist table/padding
+    assembly out of the bounce loop. Scenes with >16 chunks dispatch to
+    the two-level superchunk kernel."""
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
 
@@ -372,11 +528,16 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
                      pad(dx * 0)], axis=0)
 
-    if table is None:
-        table = build_trace_table(scene)
-    rows = _closest_hit_rows(o4t, d4t, scene.isect_chunk_bounds,
-                             scene.isect_mu, scene.isect_mv, scene.isect_mw,
-                             table, interpret=interpret)[:, :n]
+    if prep is None:
+        prep = prepare_trace_inputs(scene)
+    if prep.superchunks:
+        rows = _closest_hit_rows_sc(o4t, d4t, prep.sc_flat, prep.chunk_flat,
+                                    prep.mu, prep.mv, prep.mw, prep.tab,
+                                    interpret=interpret)[:, :n]
+    else:
+        rows = _closest_hit_rows(o4t, d4t, scene.isect_chunk_bounds,
+                                 prep.mu, prep.mv, prep.mw, prep.tab,
+                                 interpret=interpret)[:, :n]
 
     t = rows[40]
     hit = t < MISS_T

@@ -49,10 +49,10 @@ def get_trace_fn(config: RenderConfig, scene: Scene | None = None
         return lambda scene, ray, active: trace_unit(scene, ray, active)
     if config.traversal == Traversal.PALLAS:
         from gdpathtracing_tpu.ops.intersect_pallas import (
-            build_trace_table, trace_pallas)
-        table = build_trace_table(scene) if scene is not None else None
+            prepare_trace_inputs, trace_pallas)
+        prep = prepare_trace_inputs(scene) if scene is not None else None
         return lambda scene, ray, active: trace_pallas(scene, ray, active,
-                                                       table=table)
+                                                       prep=prep)
     if config.traversal == Traversal.FUSED:
         return None  # path_trace dispatches to the megakernel directly
     raise ValueError(config.traversal)
@@ -136,7 +136,15 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             shadow_o = s.position + s.normal * config.ray_eps
             shadow_active = is_hit & (cos_i > 0.0) & \
                 jnp.isfinite(ls.pdf_solid)
-            if config.traversal == Traversal.PALLAS:
+            if config.soft_shadows > 0.0 and config.traversal in (
+                    Traversal.BRUTE, Traversal.UNIT):
+                # Differentiable soft visibility (silhouette gradients
+                # w.r.t. blocker geometry) — intersect.occlusion_soft.
+                from gdpathtracing_tpu.render.intersect import occlusion_soft
+                visibility = occlusion_soft(
+                    scene, Ray(shadow_o, ls.wi), ls.dist * (1.0 - 1e-3),
+                    shadow_active, edge_eps=config.soft_shadows)
+            elif config.traversal == Traversal.PALLAS:
                 # Dedicated any-hit kernel: no closest-hit bookkeeping,
                 # chunks skip once a whole ray block is resolved.
                 from gdpathtracing_tpu.ops.intersect_pallas import \
@@ -144,10 +152,11 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                 occluded = occluded_pallas(
                     scene, Ray(shadow_o, ls.wi),
                     ls.dist * (1.0 - 1e-3), shadow_active)
-                unoccluded = ~occluded
+                visibility = (~occluded).astype(jnp.float32)
             else:
                 sh = trace_fn(scene, Ray(shadow_o, ls.wi), shadow_active)
-                unoccluded = ~(sh.t < ls.dist * (1.0 - 1e-3))
+                visibility = (~(sh.t < ls.dist * (1.0 - 1e-3))
+                              ).astype(jnp.float32)
             segments = segments + shadow_active.astype(jnp.int32)
             f_l = brdf.eval_brdf(s, ls.wi)
             pb_l = jax.lax.stop_gradient(brdf.brdf_pdf(s, ls.wi))
@@ -155,9 +164,8 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             w_l = (pl_l * pl_l) / jnp.maximum(pl_l * pl_l + pb_l * pb_l,
                                               1e-20)
             scale_l = jnp.where(
-                shadow_active & unoccluded & (pl_l > 1e-12)
-                & jnp.isfinite(pl_l),
-                cos_i * w_l / jnp.maximum(pl_l, 1e-12), 0.0)
+                shadow_active & (pl_l > 1e-12) & jnp.isfinite(pl_l),
+                cos_i * w_l / jnp.maximum(pl_l, 1e-12), 0.0) * visibility
             direct = throughput * f_l * ls.emission * scale_l
             if scene.has_transmission:
                 direct = direct * (1.0 - s.transmission)

@@ -127,6 +127,68 @@ def trace_brute(scene: Scene, ray: Ray, active=None,
     return best
 
 
+def occlusion_soft(scene: Scene, ray: Ray, t_max, active=None,
+                   edge_eps: float = 2e-2, chunk: int = 512) -> jnp.ndarray:
+    """Differentiable soft visibility for shadow rays in [0, 1]:
+    ``V = prod_i (1 - sigmoid(margin_i / edge_eps))`` over all triangles
+    the ray passes within `edge_eps` (barycentric units) of — the
+    SoftRas-style silhouette relaxation applied to ray-traced shadows.
+
+    As ``edge_eps -> 0`` this recovers hard visibility; for small eps it
+    yields consistent gradients of shadows w.r.t. BLOCKER geometry
+    (vertices / instance transforms, via the in-graph isect tables of
+    scene/dynamic.py), which the hard-visibility estimator drops entirely
+    (the missing silhouette/boundary term of the transport derivative).
+    Bias is O(edge_eps) and confined to silhouette bands. No reference
+    counterpart (the reference is non-differentiable); this is the
+    visibility half of BASELINE config 4."""
+    e = scene.isect_mu.shape[1]
+    chunk = min(chunk, e)
+    if e % chunk:
+        chunk = 256  # E is always a 256-multiple; overlap would make the
+        #              visibility product double-count boundary triangles
+    n_chunks = e // chunk
+
+    o4 = jnp.stack([ray.o.x, ray.o.y, ray.o.z,
+                    jnp.ones_like(ray.o.x)], axis=1)  # (N, 4)
+    d4 = jnp.stack([ray.d.x, ray.d.y, ray.d.z,
+                    jnp.zeros_like(ray.d.x)], axis=1)
+
+    def body(vis, ci):
+        sl = ci * chunk
+        mu = jax.lax.dynamic_slice(scene.isect_mu, (0, sl), (4, chunk))
+        mv = jax.lax.dynamic_slice(scene.isect_mv, (0, sl), (4, chunk))
+        mw = jax.lax.dynamic_slice(scene.isect_mw, (0, sl), (4, chunk))
+
+        def mm(a, m):
+            return jax.lax.dot_general(
+                a, m, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
+        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+        wd_ok = jnp.abs(w_d) > 1e-12
+        inv_wd = jnp.where(wd_ok, 1.0 / jnp.where(wd_ok, w_d, 1.0), 0.0)
+        t = -w_o * inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        # Signed inside-distance in barycentric coordinates: positive
+        # inside the triangle, negative outside; zero ON an edge.
+        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+        cov = jax.nn.sigmoid(margin / edge_eps)
+        in_t = wd_ok & (t > 1e-6) & (t < t_max[:, None])
+        cov = jnp.where(in_t, cov, 0.0)
+        vis = vis * jnp.prod(1.0 - cov, axis=1)
+        return vis, None
+
+    vis, _ = jax.lax.scan(body, jnp.ones_like(ray.o.x),
+                          jnp.arange(n_chunks))
+    if active is not None:
+        vis = jnp.where(active, vis, 1.0)
+    return vis
+
+
 def trace_unit(scene: Scene, ray: Ray, active=None,
                chunk: int = 512) -> HitInfo:
     """Closest hit via unit-triangle-space matmuls over the

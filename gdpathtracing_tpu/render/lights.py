@@ -86,7 +86,11 @@ def sample_light(table: LightTable, position: Vec3, r_pick, r1, r2
                  ) -> LightSample:
     """Pick an emitter ∝ power, sample a uniform point on it, convert the
     area pdf to solid angle at `position`."""
-    l = jnp.searchsorted(table.cdf, r_pick)
+    # Default searchsorted lowers to a binary-search scan whose per-round
+    # gathers cost ~2 ms each on TPU; an all-compare reduction is pure VPU
+    # work and ~10x cheaper for small emitter counts.
+    method = "compare_all" if table.cdf.shape[0] <= 4096 else "sort"
+    l = jnp.searchsorted(table.cdf, r_pick, method=method)
     l = jnp.clip(l, 0, table.cdf.shape[0] - 1)
 
     r = table.rows[l]  # (N, 17) — ONE row gather for all emitter data

@@ -82,6 +82,7 @@ def update_instance_transforms(scene: Scene,
     world = world[order]
     inst_ids = scene.isect_inst[order]
     tri_ids = scene.isect_tri[order]
+    light_ids = scene.isect_light[order]  # (inst, tri) → light map permutes
 
     e_pad = scene.isect_mu.shape[1]
     n_chunks = e_pad // ISECT_CHUNK
@@ -132,6 +133,7 @@ def update_instance_transforms(scene: Scene,
         isect_mu=mu, isect_mv=mv, isect_mw=mw,
         isect_cols=jnp.concatenate([mu.T, mv.T, mw.T], axis=1),
         isect_inst=inst_ids, isect_tri=tri_ids,
+        isect_light=light_ids,
         isect_chunk_bounds=chunk_bounds,
         isect_shade=shade,
         tlas_min=tlas_min, tlas_max=tlas_max,

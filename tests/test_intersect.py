@@ -149,6 +149,29 @@ def test_pallas_interpret_matches_brute_oracle():
     assert (np.asarray(brute.front)[clear] == np.asarray(pal.front)[clear]).mean() > 0.999
 
 
+def test_pallas_superchunk_matches_brute_oracle():
+    """The two-level superchunk kernel (scenes with >16 chunks) must agree
+    with the brute-force oracle, including across superchunk boundaries."""
+    from gdpathtracing_tpu.ops.intersect_pallas import (prepare_trace_inputs,
+                                                        trace_pallas)
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid
+    scene = build_sphere_grid(n=4, sphere_detail=12)
+    prep = prepare_trace_inputs(scene)
+    assert prep.superchunks, scene.isect_mu.shape  # must exercise sc path
+    ray = _random_rays(300, seed=11)
+    brute = trace_brute(scene, ray)
+    pal = trace_pallas(scene, ray, interpret=True, prep=prep)
+    bt, pt = np.asarray(brute.t), np.asarray(pal.t)
+    assert ((bt < 1e8) == (pt < 1e8)).mean() > 0.998
+    both = (bt < 1e8) & (pt < 1e8)
+    assert np.allclose(bt[both], pt[both], rtol=1e-3, atol=1e-3)
+    clear = both & (np.abs(bt - pt) < 1e-4)
+    assert (np.asarray(brute.tri)[clear]
+            == np.asarray(pal.tri)[clear]).mean() > 0.999
+    assert np.allclose(np.asarray(brute.u)[clear], np.asarray(pal.u)[clear],
+                       atol=2e-3)
+
+
 def test_fast_shading_matches_classic():
     """Packed-row shading (eidx path) must reproduce the classic
     multi-gather shading exactly on unit-backend hits."""
