@@ -67,6 +67,10 @@ class RenderConfig:
     nee: bool = False         # next-event estimation + MIS (beyond the
     #                           reference, whose transport is BRDF-sampling
     #                           only — README wishlist item)
+    sort_rays: bool | None = None  # octant-sort the wavefront each bounce
+    #                           (restores block coherence for the chunked
+    #                           kernels on large scenes). None = auto:
+    #                           on for PALLAS + >16-chunk scenes.
     soft_shadows: float = 0.0  # > 0: differentiable soft-shadow visibility
     #                           with this barycentric edge width (NEE +
     #                           BRUTE/UNIT backends; gradients of shadows

@@ -27,6 +27,7 @@ from gdpathtracing_tpu.scene.scene import Scene
 
 BN = 256  # rays per block
 BT = 256  # triangles per chunk
+_FORCE_INTERPRET = False  # test hook: run kernels in interpret mode on CPU
 _WD_EPS = 1e-12
 _MISS = 1e9  # python float: jnp constants would be captured by the kernel
 
@@ -504,6 +505,7 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     precomputed `prep` (prepare_trace_inputs) to hoist table/padding
     assembly out of the bounce loop. Scenes with >16 chunks dispatch to
     the two-level superchunk kernel."""
+    interpret = interpret or _FORCE_INTERPRET
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
 
@@ -713,6 +715,7 @@ def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
     """Any-hit query: True where something blocks `ray` before `t_max`.
     Cheaper than closest-hit (no argmin/record keeping; chunks skip once a
     block is fully occluded or culled)."""
+    interpret = interpret or _FORCE_INTERPRET
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
 

@@ -97,9 +97,69 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         from gdpathtracing_tpu.render import lights as lights_mod
         light_table = lights_mod.build_light_table(scene)
 
+    # Large scenes (superchunk traversal): stable-sort the wavefront by
+    # direction octant each bounce. The chunk/superchunk culling is per
+    # 256-ray BLOCK — after a diffuse bounce a block of random directions
+    # collectively may-hits everything, so culling dies. Octant-sorting
+    # restores directional block coherence while the stable order keeps
+    # pixel-adjacent (origin-coherent) rays together; dead rays (key 8)
+    # compact to the tail where whole blocks park and skip. Per-ray math
+    # is order-independent, so results are bit-identical after unsorting.
+    sort_rays = config.sort_rays
+    if sort_rays is None:
+        sort_rays = (config.traversal == Traversal.PALLAS
+                     and scene.isect_mu.shape[1] > 16 * 256)
+
     def body(i, carry):
-        (ray_o, ray_d, throughput, radiance, active, seed, depth, steps,
-         segments, prev_pdf, normal) = carry
+        if sort_rays:
+            (ray_o, ray_d, throughput, radiance, active, seed, depth,
+             steps, segments, prev_pdf, normal, src) = carry
+            # Key = Morton cell of the ray ORIGIN (major, 8³ scene cells)
+            # then direction octant (minor): blocks get tight origin
+            # bounds AND a shared direction cone — both are what the
+            # per-block slab culling needs. Octant-only sorting measured
+            # only 1.4x on the grid scene: once survivors are sparse, an
+            # octant's rays come from all over the image and the block's
+            # origin AABB covers the whole scene.
+            def q3(x, lo, span):
+                return jnp.clip(((x - lo) / span * 8.0).astype(jnp.int32),
+                                0, 7)
+
+            cb = scene.isect_chunk_bounds
+            lo = cb[0:3].min(axis=1)
+            span = jnp.maximum(cb[3:6].max(axis=1) - lo, 1e-6)
+            qx = q3(ray_o.x, lo[0], span[0])
+            qy = q3(ray_o.y, lo[1], span[1])
+            qz = q3(ray_o.z, lo[2], span[2])
+            cell = jnp.zeros_like(qx)
+            for b in range(3):  # 9-bit Morton interleave of 3-bit coords
+                cell = cell | (((qx >> b) & 1) << (3 * b + 2)) \
+                    | (((qy >> b) & 1) << (3 * b + 1)) \
+                    | (((qz >> b) & 1) << (3 * b))
+            octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
+                      + (ray_d.y > 0.0).astype(jnp.int32) * 2
+                      + (ray_d.z > 0.0).astype(jnp.int32))
+            key = cell * 8 + octant
+            key = jnp.where(active, key, 1 << 14)  # dead rays last
+            order = jnp.argsort(key, stable=True)
+
+            def g(x):
+                return x[order]
+
+            def gv(v):
+                return Vec3(v.x[order], v.y[order], v.z[order])
+
+            ray_o, ray_d = gv(ray_o), gv(ray_d)
+            throughput, radiance = gv(throughput), gv(radiance)
+            normal = gv(normal)
+            active, depth, steps = g(active), g(depth), g(steps)
+            segments, prev_pdf, src = g(segments), g(prev_pdf), g(src)
+            seed = (g(seed[0]), g(seed[1]))
+            carry_tail = (src,)
+        else:
+            (ray_o, ray_d, throughput, radiance, active, seed, depth,
+             steps, segments, prev_pdf, normal) = carry
+            carry_tail = ()
         r = Ray(ray_o, ray_d)
         hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
@@ -221,7 +281,7 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         active = survive
         prev_pdf = jnp.where(survive, prev_pdf_val, -1.0)
         return (ray_o, ray_d, throughput, radiance, active, seed, depth,
-                steps, segments, prev_pdf, normal)
+                steps, segments, prev_pdf, normal) + carry_tail
 
     # Carries derive from `ray` arithmetically so they inherit its
     # varying-axes type under shard_map (cf. HitInfo.none_like).
@@ -232,7 +292,23 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             zero_n.astype(bool) | True, seed,
             zero_n + f32(far), zero_n.astype(jnp.int32),
             zero_n.astype(jnp.int32), zero_n - 1.0, zero3)
-    (_, _, _, radiance, _, _, depth, steps, segments, _,
-     normal) = jax.lax.fori_loop(0, config.bounces, body, init)
+    if sort_rays:
+        init = init + (zero_n.astype(jnp.int32) + jnp.arange(n),)
+    out = jax.lax.fori_loop(0, config.bounces, body, init)
+    radiance, depth, steps, segments, normal = (out[3], out[6], out[7],
+                                                out[8], out[10])
+    if sort_rays:
+        # Scatter every per-ray output back to its source slot (the
+        # composed per-bounce permutation lives in `src`).
+        src = out[11]
+
+        def unsort(x):
+            return jnp.zeros_like(x).at[src].set(x)
+
+        radiance = Vec3(unsort(radiance.x), unsort(radiance.y),
+                        unsort(radiance.z))
+        normal = Vec3(unsort(normal.x), unsort(normal.y), unsort(normal.z))
+        depth, steps, segments = (unsort(depth), unsort(steps),
+                                  unsort(segments))
     return PathTraceResult(radiance=radiance, depth=depth, steps=steps,
                            segments=segments, normal=normal)

@@ -172,6 +172,31 @@ def test_pallas_superchunk_matches_brute_oracle():
                        atol=2e-3)
 
 
+def test_octant_sort_is_transparent(monkeypatch):
+    """Ray sorting must be invisible: per-ray math is order-independent,
+    so a sorted render bit-matches the unsorted one after the final
+    unsort scatter."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.config import Jitter, RenderConfig, Traversal
+    from gdpathtracing_tpu.render.renderer import render_radiance
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid, grid_camera
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    scene = build_sphere_grid(n=4, sphere_detail=12)
+    assert scene.isect_mu.shape[1] > 16 * 256  # superchunk + auto-sort
+    cam = grid_camera(16, 12, n=4)
+    base = dict(bounces=2, spp=1, jitter=Jitter.NONE,
+                traversal=Traversal.PALLAS)
+    a = render_radiance(scene, cam,
+                        RenderConfig(sort_rays=True, **base), 0)
+    b = render_radiance(scene, cam,
+                        RenderConfig(sort_rays=False, **base), 0)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segments),
+                                  np.asarray(b.segments))
+
+
 def test_fast_shading_matches_classic():
     """Packed-row shading (eidx path) must reproduce the classic
     multi-gather shading exactly on unit-backend hits."""
