@@ -79,13 +79,17 @@ def main() -> None:
         if args.verbose:
             print(f"compile+first frame: {time.time() - t0:.1f}s",
                   file=sys.stderr)
+        # Segment count is measured on frame 0 and assumed representative
+        # of the timed frames (per-frame variation is ~1% — paths differ
+        # only by RNG); the median frame time keeps one slow outlier from
+        # skewing the quotient.
         segments = float(np.asarray(aovs.segments, np.float64).sum())
         dts = []
         for f in range(1, args.frames + 1):
             t0 = time.time()
             np.asarray(step(scene, camera, f).radiance)
             dts.append(time.time() - t0)
-        dt = min(dts)
+        dt = sorted(dts)[len(dts) // 2]
         if args.verbose:
             print(f"{dt*1e3:.1f} ms/frame ({segments/1e6:.2f} M segments)",
                   file=sys.stderr)

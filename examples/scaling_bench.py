@@ -46,7 +46,7 @@ def main() -> None:
     from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
 
     max_dev = args.devices or len(devices)
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=8)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=8, geometry="sphere")
     cam = demo_camera(args.res, args.res)
     cfg = RenderConfig(bounces=args.bounces, spp=1,
                        traversal=Traversal(args.traversal))

@@ -156,7 +156,9 @@ def _closest_hit(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
 # ---------------------------------------------------------------------------
 
 TAB_R = 40   # table rows (sublane-aligned)
-OUT_R = 48   # output rows: 0:40 table | 40 t | 41 u | 42 v | 43 w_d | 44 eidx
+OUT_R = 48   # output rows: 0:40 table | 40 t | 41 u | 42 v | 43 w_d |
+#              44 eidx | 45 steps (triangles actually swept per ray —
+#              the real DEBUG_STEPS analog, main.glsl:358-361)
 
 
 def build_trace_table(scene: Scene) -> jnp.ndarray:
@@ -310,6 +312,11 @@ def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,
     @pl.when(jnp.any(may_hit))
     def _():
         bt = mu_ref.shape[1]
+        # Per-ray sweep cost: rays whose slab test passed pay BT triangle
+        # tests this step (the whole chunk is swept for the block, but a
+        # culled ray's lanes do no useful work — count the chunk for the
+        # rays that actually needed it).
+        out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
         _sweep_update(out_ref, o4, d4, mu_ref[...], mv_ref[...], mw_ref[...],
                       tab_ref[:, pl.ds(j * bt, bt)], j * bt)
 
@@ -401,8 +408,10 @@ def _kernel_rows_sc(sc_ref, chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref,
             may = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur_c)
 
             @pl.when(jnp.any(may))
-            def _(c=c):
+            def _(c=c, may=may):
                 sl = pl.ds(c * BT, BT)
+                out_ref[45, :] = out_ref[45, :] + \
+                    jnp.where(may, float(BT), 0.0)
                 _sweep_update(out_ref, o4, d4, mu_ref[:, sl], mv_ref[:, sl],
                               mw_ref[:, sl], tab_ref[:, sl],
                               (j * scc + c) * BT)
@@ -459,6 +468,12 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
     fastest when the whole sweep fits a few steps); larger scenes use the
     two-level superchunk kernel."""
     e = scene.isect_mu.shape[1]
+    # Integer ids (tri/inst/tex/eidx) ride the one-hot MXU fetch as f32 —
+    # exact only below 2^24 expanded triangles.
+    assert e < 2 ** 24, (
+        f"scene has {e} expanded triangles; the packed-rows kernel carries "
+        f"integer ids as f32 (exact only below 2^24). Split the scene or "
+        f"use Traversal.UNIT/BVH.")
     nc = e // BT
     tab = build_trace_table(scene)
     if nc <= 16:
@@ -551,7 +566,10 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
     inst = rows[16].astype(jnp.int32)
     if active is not None:
         t = jnp.where(active, t, MISS_T)
-    steps = (ray.o.x * 0.0).astype(jnp.int32) + scene.isect_mu.shape[1]
+    # Row 45 counts triangles ACTUALLY swept for each ray (chunks whose
+    # slab test passed × BT) — the real traversal-cost heatmap
+    # (DEBUG_STEPS analog), not the constant E of round 1.
+    steps = rows[45].astype(jnp.int32)
     return HitInfo(t=t, tri=tri, inst=inst, u=u, v=v,
                    front=front, steps=steps, eidx=eidx, rows=rows)
 

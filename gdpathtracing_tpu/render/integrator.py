@@ -51,8 +51,18 @@ def get_trace_fn(config: RenderConfig, scene: Scene | None = None
         from gdpathtracing_tpu.ops.intersect_pallas import (
             prepare_trace_inputs, trace_pallas)
         prep = prepare_trace_inputs(scene) if scene is not None else None
-        return lambda scene, ray, active: trace_pallas(scene, ray, active,
-                                                       prep=prep)
+        baked = scene
+
+        def pallas_fn(scene, ray, active):
+            # `prep` bakes geometry/material tables from the closure-time
+            # scene; a caller passing a DIFFERENT scene (e.g. after
+            # update_instance_transforms) must not trace stale tables —
+            # rebuild prep for it (identity check is Python-level, free
+            # under jit).
+            p = prep if scene is baked else None
+            return trace_pallas(scene, ray, active, prep=p)
+
+        return pallas_fn
     if config.traversal == Traversal.FUSED:
         return None  # path_trace dispatches to the megakernel directly
     raise ValueError(config.traversal)
@@ -104,7 +114,11 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     # restores directional block coherence while the stable order keeps
     # pixel-adjacent (origin-coherent) rays together; dead rays (key 8)
     # compact to the tail where whole blocks park and skip. Per-ray math
-    # is order-independent, so results are bit-identical after unsorting.
+    # is order-independent, so results are identical after unsorting up to
+    # fp-conservatism of the per-block slab cull (a grazing ray whose own
+    # slab test misses by an ulp can still be swept when a neighbor forces
+    # the chunk — block composition decides; the equality test covers the
+    # practical case, not an absolute guarantee).
     sort_rays = config.sort_rays
     if sort_rays is None:
         sort_rays = (config.traversal == Traversal.PALLAS

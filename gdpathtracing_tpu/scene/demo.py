@@ -1,14 +1,20 @@
-"""The demo scene — programmatic rebuild of the reference's Cornell demo.
+"""The demo scene — rebuild of the reference's Cornell demo.
 
 Mirrors project/demo/demo.tscn:69-93: an emissive ceiling plane light, the
 3-surface Cornell cube with per-surface grey/red/green overrides, and two
-instances of one shared mesh (a UV sphere standing in for Suzanne — the
-instancing, not the monkey, is what the demo exercises): one diffuse +
-faintly emissive, one metallic mirror. Transforms and material parameters
-are transcribed from the .tscn (basis rows + origin).
+instances of one shared Suzanne mesh (one diffuse + faintly emissive, one
+metallic mirror). Transforms and material parameters are transcribed from
+the .tscn (basis rows + origin); the cornell/suzanne geometry ships as a
+packed npz asset converted from the reference's OBJ files
+(examples/convert_demo_assets.py ← project/demo/geometry/{cornell,
+suzanne}.obj, wired at demo.tscn:85-93). ``geometry="sphere"`` substitutes
+a cheap UV sphere + procedural box (the round-1 stand-in) — used by tests
+that need a small triangle count.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 import numpy as np
 
@@ -16,6 +22,24 @@ from gdpathtracing_tpu.render.camera import Camera
 from gdpathtracing_tpu.scene.materials import Material
 from gdpathtracing_tpu.scene.primitives import cornell_box, plane_mesh, uv_sphere
 from gdpathtracing_tpu.scene.scene import Scene, SceneBuilder
+
+_GEOMETRY_NPZ = Path(__file__).parent / "data" / "demo_geometry.npz"
+
+
+def load_demo_geometry(name: str):
+    """Per-surface triangle arrays of a demo mesh ("cornell"/"suzanne")
+    from the packed asset → list[Surface]."""
+    from gdpathtracing_tpu.bvh.blas import Surface
+    with np.load(_GEOMETRY_NPZ) as z:
+        n = int(z[f"{name}_n_surfaces"])
+        out = []
+        for k in range(n):
+            def opt(field):
+                key = f"{name}_{k}_{field}"
+                return z[key] if key in z.files else None
+            out.append(Surface(positions=z[f"{name}_{k}_positions"],
+                               normals=opt("normals"), uvs=opt("uvs")))
+    return out
 
 
 def _affine(rows9, origin) -> np.ndarray:
@@ -41,13 +65,22 @@ MIRROR_MAT = Material(albedo=(1, 1, 1), metallic=1.0,
 
 
 def build_demo_scene(texture_resolution: int = 1024,
-                     sphere_detail: int = 16) -> Scene:
+                     sphere_detail: int = 16,
+                     geometry: str = "reference") -> Scene:
+    """``geometry="reference"`` (default): the real cornell.obj /
+    suzanne.obj demo geometry (demo.tscn:69-93). ``"sphere"``: cheap
+    procedural stand-ins (UV sphere of `sphere_detail`, procedural box) —
+    for tests that want a small triangle count."""
     b = SceneBuilder(texture_resolution=texture_resolution)
 
     light_mesh = b.add_mesh(plane_mesh(size=2.0))
-    box_mesh = b.add_mesh(cornell_box(size=5.0))
-    sphere_mesh = b.add_mesh(
-        uv_sphere(radius=1.0, rings=sphere_detail, segments=2 * sphere_detail))
+    if geometry == "reference":
+        box_mesh = b.add_mesh(load_demo_geometry("cornell"))
+        sphere_mesh = b.add_mesh(load_demo_geometry("suzanne"))
+    else:
+        box_mesh = b.add_mesh(cornell_box(size=5.0))
+        sphere_mesh = b.add_mesh(uv_sphere(radius=1.0, rings=sphere_detail,
+                                           segments=2 * sphere_detail))
 
     # Light: plane flipped to face down at y=2.956 (demo.tscn:73-76).
     b.add_instance(

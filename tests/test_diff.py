@@ -82,7 +82,7 @@ def test_vertex_and_camera_gradients_finite():
     # discrete), but the demo spheres' interpolated normals vary with the
     # barycentrics, which vary with the vertices.
     from gdpathtracing_tpu.scene.demo import build_demo_scene
-    scene = build_demo_scene(texture_resolution=4, sphere_detail=4)
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=4, geometry="sphere")
     cam = demo_camera(16, 16)
 
     g_v = jax.grad(

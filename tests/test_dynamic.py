@@ -35,7 +35,7 @@ def _assert_hits_match(a, b, tol=1e-4):
 
 
 def test_update_instance_transforms_matches_rebuild():
-    scene = build_demo_scene(texture_resolution=4, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=6, geometry="sphere")
     tfs = np.asarray(scene.inst_transform).copy()
     tfs[2, :, 3] += [0.5, 0.3, -0.4]   # move one sphere
     tfs[3, :, :3] *= 0.8               # shrink the other
@@ -51,7 +51,7 @@ def test_update_instance_transforms_matches_rebuild():
 
 
 def test_update_instances_changes_hits():
-    scene = build_demo_scene(texture_resolution=4, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=6, geometry="sphere")
     tfs = np.asarray(scene.inst_transform).copy()
     tfs[2, :, 3] += [2.0, 0.0, 0.0]
     moved = update_instance_transforms(scene, jnp.asarray(tfs))
@@ -62,7 +62,7 @@ def test_update_instances_changes_hits():
 
 
 def test_refit_blas_and_vertices():
-    scene = build_demo_scene(texture_resolution=4, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=6, geometry="sphere")
     new_pos = scene.tri_pos * 1.1  # inflate all meshes about origin
     deformed = jax.jit(update_vertices)(scene, new_pos)
     # BLAS bounds contain the new triangles

@@ -56,7 +56,7 @@ def test_fused_matches_wavefront():
 
 
 def test_fused_demo_scene():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     ref, fused = _trace_pair(scene, 2)
     a = np.asarray(ref.radiance.to_array())
     b = np.asarray(fused.radiance.to_array())

@@ -55,7 +55,7 @@ def test_cornell_wall_colors():
 
 
 def test_brute_and_bvh_render_identically():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     a = _render(scene, bounces=2, spp=2, traversal=Traversal.BRUTE, res=32)
     b = _render(scene, bounces=2, spp=2, traversal=Traversal.BVH, res=32)
     ia, ib = np.asarray(a.radiance), np.asarray(b.radiance)
@@ -84,7 +84,7 @@ def test_deterministic_given_frame_index():
 
 
 def test_emissive_sphere_glows():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     aovs = _render(scene, bounces=2, spp=4, res=48)
     img = np.asarray(aovs.radiance)
     assert np.isfinite(img).all()

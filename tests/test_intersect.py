@@ -87,7 +87,7 @@ def _random_rays(n, seed=0):
 
 
 def test_bvh_matches_brute_oracle():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     ray = _random_rays(512)
     brute = trace_brute(scene, ray)
     bvh = trace_bvh(scene, ray)
@@ -104,7 +104,7 @@ def test_bvh_matches_brute_oracle():
 
 
 def test_bvh_active_mask():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=4)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=4, geometry="sphere")
     ray = _random_rays(64, seed=1)
     active = jnp.zeros(64, dtype=bool)
     hit = trace_bvh(scene, ray, active=active)
@@ -112,7 +112,7 @@ def test_bvh_active_mask():
 
 
 def test_unit_matches_brute_oracle():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     ray = _random_rays(512, seed=3)
     from gdpathtracing_tpu.render.intersect import trace_unit
     brute = trace_brute(scene, ray)
@@ -134,7 +134,7 @@ def test_unit_matches_brute_oracle():
 
 def test_pallas_interpret_matches_brute_oracle():
     from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     ray = _random_rays(300, seed=5)
     brute = trace_brute(scene, ray)
     pal = trace_pallas(scene, ray, interpret=True)
@@ -197,13 +197,57 @@ def test_octant_sort_is_transparent(monkeypatch):
                                   np.asarray(b.segments))
 
 
+def test_pallas_render_matches_unit_end_to_end(monkeypatch):
+    """End-to-end guard on the packed rows (materials, NEE pdf term,
+    emitter normal — build_trace_table rows 15-33) and on
+    shading_from_rows/light_pdf_from_rows: a full PALLAS render must match
+    the UNIT render, with and without NEE. The per-hit oracle tests only
+    check t/tri/u/v/front; a layout bug in the rows would pass them."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.config import Jitter, RenderConfig, Traversal
+    from gdpathtracing_tpu.render.renderer import render_radiance
+    from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
+    cam = demo_camera(24, 16)
+    for nee in (False, True):
+        base = dict(bounces=3, spp=1, jitter=Jitter.NONE, nee=nee)
+        pal = render_radiance(scene, cam, RenderConfig(
+            traversal=Traversal.PALLAS, **base), 0)
+        unit = render_radiance(scene, cam, RenderConfig(
+            traversal=Traversal.UNIT, **base), 0)
+        assert np.allclose(np.asarray(pal.radiance),
+                           np.asarray(unit.radiance),
+                           rtol=1e-5, atol=1e-5), f"nee={nee}"
+        np.testing.assert_array_equal(np.asarray(pal.segments),
+                                      np.asarray(unit.segments))
+
+
+def test_pallas_steps_aov_has_structure(monkeypatch):
+    """Row 45 of the packed output counts triangles actually swept per ray
+    (chunks whose slab test passed × BT) — the DEBUG_STEPS heatmap analog
+    (main.glsl:358-361). It must be bounded by the full sweep and show
+    per-ray structure (round 1 returned the constant E for every ray)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=16, geometry="sphere")
+    e = scene.isect_mu.shape[1]
+    assert e // ip.BT >= 4  # needs several chunks for structure
+    ray = _random_rays(512, seed=7)
+    pal = ip.trace_pallas(scene, ray, interpret=True)
+    steps = np.asarray(pal.steps)
+    assert (steps >= 0).all() and (steps <= e).all()
+    assert steps.min() < steps.max()  # not a constant
+    hit = np.asarray(pal.t) < 1e8
+    assert (steps[hit] >= ip.BT).all()  # a hit costs at least its chunk
+
+
 def test_fast_shading_matches_classic():
     """Packed-row shading (eidx path) must reproduce the classic
     multi-gather shading exactly on unit-backend hits."""
     from gdpathtracing_tpu.render.intersect import trace_unit
     from gdpathtracing_tpu.render.shading import (get_shading_data,
                                                   get_shading_data_fast)
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6, geometry="sphere")
     ray = _random_rays(256, seed=9)
     hit = trace_unit(scene, ray)
     classic = get_shading_data(scene, hit, ray)

@@ -16,7 +16,7 @@ from gdpathtracing_tpu.scene.scene import SceneBuilder
 
 
 def test_demo_scene_shapes():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=4)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=4, geometry="sphere")
     assert scene.n_instances == 4
     # light(1 surf) + box(3 surf) + 2 spheres(1 surf)
     assert scene.inst_materials.shape[0] == 4
@@ -28,8 +28,32 @@ def test_demo_scene_shapes():
     assert np.allclose(np.asarray(scene.mat_albedo)[0], 0.5)
 
 
+def test_demo_scene_reference_geometry():
+    """Default demo geometry is the REAL reference demo (demo.tscn:69-93):
+    cornell.obj (3 surfaces, 10 tris) + 2 instances of suzanne.obj
+    (968 tris) sharing one BLAS, + the plane light."""
+    from gdpathtracing_tpu.scene.demo import load_demo_geometry
+    cornell = load_demo_geometry("cornell")
+    suzanne = load_demo_geometry("suzanne")
+    assert len(cornell) == 3
+    assert sum(s.positions.shape[0] for s in cornell) == 10
+    assert len(suzanne) == 1
+    assert suzanne[0].positions.shape[0] == 968
+    assert suzanne[0].normals is not None  # smooth-shaded monkey
+
+    scene = build_demo_scene(texture_resolution=8)
+    assert scene.n_instances == 4
+    assert scene.n_tris == 2 + 10 + 968  # light + cornell + ONE suzanne
+    roots = np.asarray(scene.inst_root)
+    assert roots[2] == roots[3]  # instanced suzannes share a BLAS
+    # expanded isect table: light 2 + cornell 10 + 2×suzanne
+    nonpad = np.abs(np.asarray(scene.isect_mw)).sum(axis=0) > 0
+    assert nonpad.sum() == 2 + 10 + 2 * 968
+    assert scene.n_lights > 0  # ceiling light + emissive suzanne
+
+
 def test_scene_is_pytree():
-    scene = build_demo_scene(texture_resolution=8, sphere_detail=4)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=4, geometry="sphere")
     leaves = jax.tree_util.tree_leaves(scene)
     assert len(leaves) > 20
     # static fields not leaves
