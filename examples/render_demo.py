@@ -45,7 +45,7 @@ def main() -> None:
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--traversal", default="pallas",
-                    choices=["pallas", "unit", "brute", "bvh"])
+                    choices=["pallas", "unit", "brute", "bvh", "mega"])
     ap.add_argument("--out", default="out/demo.png")
     args = ap.parse_args()
 

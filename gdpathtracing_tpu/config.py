@@ -30,9 +30,14 @@ class Traversal(enum.Enum):
     BVH = "bvh"      # two-level TLAS/BLAS stack traversal (batched lax loop)
     UNIT = "unit"    # O(rays x tris) unit-triangle-space matmul formulation
     PALLAS = "pallas"  # fused Pallas TPU kernel (unit-triangle space)
-    FUSED = "fused"    # megakernel: whole bounce loop in one Pallas kernel
+    FUSED = "fused"    # round-1 megakernel: all bounces in one Pallas kernel
     #                    (small/mid scenes, no textures/env/NEE — the
     #                    dispatcher validates via fused_pallas.fused_supported)
+    MEGA = "mega"      # megakernel v2: ONE Pallas kernel per bounce —
+    #                    sweep + shading + NEE shadow rays + BRDF sampling
+    #                    all in-kernel, state (24+8, N) rows in HBM between
+    #                    bounces (ops/megakernel.py; mega_supported gates:
+    #                    no textures/env/transmission, <=16 chunks)
 
 
 class Tonemap(enum.Enum):
@@ -71,6 +76,14 @@ class RenderConfig:
     #                           (restores block coherence for the chunked
     #                           kernels on large scenes). None = auto:
     #                           on for PALLAS + >16-chunk scenes.
+    differentiable: bool = False  # differentiable render path: PALLAS
+    #                           traversal becomes a primal hit-finder with a
+    #                           differentiable recompute epilogue
+    #                           (ops/intersect_pallas.trace_pallas_diff) and
+    #                           the bounce loop is jax.checkpoint'ed per
+    #                           bounce so backward memory stays O(wavefront)
+    #                           instead of O(wavefront x bounces x ops).
+    #                           BRUTE/UNIT are differentiable regardless.
     soft_shadows: float = 0.0  # > 0: differentiable soft-shadow visibility
     #                           with this barycentric edge width (NEE +
     #                           BRUTE/UNIT backends; gradients of shadows

@@ -49,9 +49,10 @@ def get_trace_fn(config: RenderConfig, scene: Scene | None = None
         return lambda scene, ray, active: trace_unit(scene, ray, active)
     if config.traversal == Traversal.PALLAS:
         from gdpathtracing_tpu.ops.intersect_pallas import (
-            prepare_trace_inputs, trace_pallas)
+            prepare_trace_inputs, trace_pallas, trace_pallas_diff)
         prep = prepare_trace_inputs(scene) if scene is not None else None
         baked = scene
+        trace = trace_pallas_diff if config.differentiable else trace_pallas
 
         def pallas_fn(scene, ray, active):
             # `prep` bakes geometry/material tables from the closure-time
@@ -60,10 +61,10 @@ def get_trace_fn(config: RenderConfig, scene: Scene | None = None
             # rebuild prep for it (identity check is Python-level, free
             # under jit).
             p = prep if scene is baked else None
-            return trace_pallas(scene, ray, active, prep=p)
+            return trace(scene, ray, active, prep=p)
 
         return pallas_fn
-    if config.traversal == Traversal.FUSED:
+    if config.traversal in (Traversal.FUSED, Traversal.MEGA):
         return None  # path_trace dispatches to the megakernel directly
     raise ValueError(config.traversal)
 
@@ -96,6 +97,15 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                 "(textures/env/NEE/transmission or too many triangles); "
                 "use PALLAS")
         return path_trace_fused(scene, ray, seed, config, far=far)
+    if config.traversal == Traversal.MEGA:
+        from gdpathtracing_tpu.ops.megakernel import (mega_supported,
+                                                      path_trace_mega)
+        if not mega_supported(scene, config):
+            raise ValueError(
+                "MEGA traversal unsupported for this scene/config "
+                "(textures/env/transmission/soft_shadows, >16 chunks, or "
+                ">4096 lights); use PALLAS")
+        return path_trace_mega(scene, ray, seed, config, far=far)
     if trace_fn is None:
         trace_fn = get_trace_fn(config, scene)
     n = ray.o.x.shape[0]
@@ -220,12 +230,18 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                     shadow_active, edge_eps=config.soft_shadows)
             elif config.traversal == Traversal.PALLAS:
                 # Dedicated any-hit kernel: no closest-hit bookkeeping,
-                # chunks skip once a whole ray block is resolved.
+                # chunks skip once a whole ray block is resolved. Hard
+                # visibility is detached (zero a.e. derivative), so in
+                # differentiable mode the kernel sees stop-grad inputs and
+                # autodiff never touches the Pallas primitive.
                 from gdpathtracing_tpu.ops.intersect_pallas import \
                     occluded_pallas
+                sg = jax.lax.stop_gradient
                 occluded = occluded_pallas(
-                    scene, Ray(shadow_o, ls.wi),
-                    ls.dist * (1.0 - 1e-3), shadow_active)
+                    sg(scene), Ray(sg(shadow_o), Vec3(sg(ls.wi.x),
+                                                      sg(ls.wi.y),
+                                                      sg(ls.wi.z))),
+                    sg(ls.dist * (1.0 - 1e-3)), shadow_active)
                 visibility = (~occluded).astype(jnp.float32)
             else:
                 sh = trace_fn(scene, Ray(shadow_o, ls.wi), shadow_active)
@@ -308,7 +324,16 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             zero_n.astype(jnp.int32), zero_n - 1.0, zero3)
     if sort_rays:
         init = init + (zero_n.astype(jnp.int32) + jnp.arange(n),)
-    out = jax.lax.fori_loop(0, config.bounces, body, init)
+    if config.differentiable:
+        # Reverse-mode memory: checkpoint each bounce so the backward pass
+        # recomputes the bounce's interior instead of saving every
+        # intermediate — residuals stay O(wavefront), not
+        # O(wavefront × bounces × ops) (SURVEY.md §7.6 hard part #2).
+        ckpt_body = jax.checkpoint(lambda carry, i: (body(i, carry), None))
+        out, _ = jax.lax.scan(ckpt_body, init,
+                              jnp.arange(config.bounces))
+    else:
+        out = jax.lax.fori_loop(0, config.bounces, body, init)
     radiance, depth, steps, segments, normal = (out[3], out[6], out[7],
                                                 out[8], out[10])
     if sort_rays:

@@ -156,3 +156,51 @@ def test_unbiased_mse_grad_converges_from_perturbation():
     # may blow up the way the correlated estimator does (≥0.5 drift).
     assert err1[4].max() < err0[4].max()
     assert err1.max() < 0.3, err1.max(axis=1)
+
+
+def test_pallas_diff_gradient_matches_fd(monkeypatch):
+    """VERDICT r1 item 3: the PALLAS path must be differentiable. With
+    config.differentiable the kernel becomes a primal hit-finder and the
+    hit record is recomputed differentiably (trace_pallas_diff); the
+    per-bounce loop is jax.checkpoint'ed. FD-match albedo gradients against
+    the kernel-traced render, and check the primal value is unchanged."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    from gdpathtracing_tpu.scene.demo import build_demo_scene
+
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=6,
+                             geometry="sphere")
+    cam = demo_camera(RES, RES)
+    for nee in (False, True):
+        cfg = RenderConfig(bounces=2, spp=1, traversal=Traversal.PALLAS,
+                           jitter=Jitter.NONE, nee=nee,
+                           differentiable=True)
+
+        def f(albedo):
+            s = replace_albedo(scene, albedo)
+            return jnp.mean(render_radiance(s, cam, cfg, 0).radiance)
+
+        # Primal parity: diff mode must not change the image.
+        prim = render_radiance(scene, cam, cfg, 0).radiance
+        base = render_radiance(scene, cam,
+                               cfg.replace(differentiable=False),
+                               0).radiance
+        assert np.allclose(np.asarray(prim), np.asarray(base),
+                           rtol=1e-5, atol=1e-6), f"nee={nee}"
+
+        albedo0 = scene.mat_albedo
+        g = np.asarray(jax.grad(f)(albedo0))
+        assert np.isfinite(g).all()
+        eps = 1e-3
+        checked = 0
+        mats = np.argsort(-np.abs(g).sum(axis=1))[:2]
+        for m in mats:
+            for c in range(3):
+                if abs(g[m, c]) < 1e-5:
+                    continue
+                fd = (float(f(albedo0.at[m, c].add(eps)))
+                      - float(f(albedo0.at[m, c].add(-eps)))) / (2 * eps)
+                rel = abs(fd - g[m, c]) / max(abs(fd), abs(g[m, c]), 1e-8)
+                assert rel < 0.05, (nee, m, c, fd, g[m, c])
+                checked += 1
+        assert checked >= 2, f"nee={nee}"
