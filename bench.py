@@ -29,10 +29,26 @@ def main() -> None:
                     help="pallas|unit|brute|bvh (default pallas — the fused "
                          "chunk-culled kernel; measured 3.7 Mrays/s at "
                          "1080p vs 0.35 for the XLA megakernel paths)")
-    ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--nee", action="store_true",
+                    help="next-event estimation + MIS (shadow rays counted "
+                         "as segments)")
+    ap.add_argument("--tile-rays", type=int, default=None,
+                    help="override config.tile_rays (rays per traced tile)")
+    ap.add_argument("--sort", action="store_true",
+                    help="force per-bounce ray sorting (parks dead rays in "
+                         "tail blocks that skip every chunk sweep; auto-on "
+                         "only for >16-chunk scenes otherwise)")
     ap.add_argument("--scene", default="demo", choices=["demo", "grid"],
                     help="demo = reference Cornell scene (~1.5k tris); "
                          "grid = 100-instance sphere grid (~100k tris)")
+    ap.add_argument("--backward", action="store_true",
+                    help="measure the BACKWARD pass (BASELINE.md 'primal & "
+                         "backward'): value_and_grad of an image MSE w.r.t. "
+                         "the material albedo table through the "
+                         "differentiable PALLAS path; Mrays/s counts the "
+                         "forward segments once (the backward recompute is "
+                         "the price of the gradient, not extra rays)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -53,13 +69,21 @@ def main() -> None:
         scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
         camera = demo_camera(args.width, args.height)
     config = RenderConfig(bounces=args.bounces, spp=args.spp,
-                          traversal=traversal)
+                          traversal=traversal, nee=args.nee)
+    if args.tile_rays:
+        config = config.replace(tile_rays=args.tile_rays)
+    if args.sort:
+        config = config.replace(sort_rays=True)
 
     # All frames run inside ONE jitted program (lax.scan): per-dispatch
     # tunnel latency (~25 ms floor, ~300 ms for multi-output pytrees on
-    # this runtime) never pollutes the compute measurement. The barrier is
-    # a full device→host transfer of the last frame's radiance —
-    # block_until_ready can return early on this runtime.
+    # this runtime) never pollutes the compute measurement. The timed
+    # program returns a SCALAR checksum of each frame's radiance: the
+    # barrier is still a real device→host transfer (block_until_ready can
+    # return early on this runtime) but NOT a 24 MB image pull over the
+    # tunnel, which measured ~+250 ms spread over the timed frames and was
+    # round 1's "scan carry overhead". The warmup run does transfer and
+    # finite-check the full image.
     #
     # Exception: the grid scene times a per-frame host loop — its frames
     # are seconds (floor error <3%), and the frame-scan + superchunk
@@ -102,13 +126,68 @@ def main() -> None:
         }))
         return
 
+    if args.backward:
+        from gdpathtracing_tpu.diff.inverse import image_mse, replace_albedo
+        config = config.replace(differentiable=True)
+        target = jnp.zeros((args.height, args.width, 3), jnp.float32)
+
+        @jax.jit
+        def run_bwd(s, c, frames):
+            def loss_fn(albedo, f):
+                aovs = render_radiance(replace_albedo(s, albedo), c,
+                                       config, f)
+                return image_mse(aovs.radiance, target), aovs.segments
+
+            def body(carry, f):
+                g, _ = carry
+                # Serialize iterations: albedo depends on the previous
+                # gradient (real optimizer shape; nothing hoistable —
+                # 1e-30 scale keeps the value bit-stable without letting
+                # XLA fold the dependency away).
+                albedo = s.mat_albedo - 1e-30 * g
+                (loss, segs), grad = jax.value_and_grad(
+                    loss_fn, has_aux=True)(albedo, f)
+                return (grad, segs), loss
+            (g, segs), losses = jax.lax.scan(
+                body, (jnp.zeros_like(s.mat_albedo),
+                       jnp.zeros((c.height, c.width), jnp.int32)),
+                jnp.asarray(frames, jnp.uint32))
+            return g, segs, losses
+
+        if args.verbose:
+            print(f"compiling backward ({traversal.value}, "
+                  f"{args.width}x{args.height}, {args.bounces} bounces)...",
+                  file=sys.stderr)
+        t0 = time.time()
+        g, segs, losses = run_bwd(scene, camera, [0] * args.frames)
+        g_np = np.asarray(g)
+        assert np.isfinite(g_np).all() and np.abs(g_np).max() > 0.0
+        if args.verbose:
+            print(f"compile+warmup ({args.frames} frames): "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+        segments = float(np.asarray(segs, dtype=np.float64).sum())
+        t0 = time.time()
+        g, _, _ = run_bwd(scene, camera, list(range(1, args.frames + 1)))
+        np.asarray(g)
+        dt = time.time() - t0
+        if args.verbose:
+            print(f"{dt / args.frames * 1e3:.1f} ms/frame fwd+bwd "
+                  f"({segments / 1e6:.2f} M segments)", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"Mrays/s/chip backward {args.spp}spp "
+                      f"{args.width}x{args.height} {traversal.value} "
+                      f"{args.scene}",
+            "value": round(segments * args.frames / dt / 1e6, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": 1.0,
+        }))
+        return
+
     @jax.jit
-    def run(s, c, frames):
+    def run_full(s, c, frames):
+        """Warmup/validation variant: returns the full image + segments."""
         def body(carry, f):
             aovs = render_radiance(s, c, config, f)
-            # Carry the image (donated in place) instead of stacking
-            # per-frame AOVs — stacked multi-frame outputs measured
-            # pathologically slow on this runtime.
             return (aovs.radiance, aovs.segments), ()
         (rad, segs), _ = jax.lax.scan(
             body, (jnp.zeros((c.height, c.width, 3), jnp.float32),
@@ -116,22 +195,33 @@ def main() -> None:
             jnp.asarray(frames, jnp.uint32))
         return rad, segs
 
+    @jax.jit
+    def run(s, c, frames):
+        """Timed variant: every frame does full work; only a scalar
+        checksum leaves the device."""
+        def body(chk, f):
+            aovs = render_radiance(s, c, config, f)
+            return chk * 1e-30 + aovs.radiance.sum(), None
+        chk, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.asarray(frames, jnp.uint32))
+        return chk
+
     if args.verbose:
         print(f"compiling ({traversal.value}, {args.width}x{args.height}, "
               f"{args.bounces} bounces)...", file=sys.stderr)
     t0 = time.time()
-    rad, segs = run(scene, camera, [0] * args.frames)
+    rad, segs = run_full(scene, camera, [0] * args.frames)
     rad_np = np.asarray(rad)
     assert np.isfinite(rad_np).all()
+    segments = float(np.asarray(segs, dtype=np.float64).sum())
+    np.asarray(run(scene, camera, [0] * args.frames))  # compile timed form
     if args.verbose:
         print(f"compile+warmup ({args.frames} frames): "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    segments = float(np.asarray(segs, dtype=np.float64).sum())
-
     t0 = time.time()
-    rad, _ = run(scene, camera, list(range(1, args.frames + 1)))
-    np.asarray(rad)
+    chk = run(scene, camera, list(range(1, args.frames + 1)))
+    assert np.isfinite(np.asarray(chk))
     dt = time.time() - t0
     if args.verbose:
         print(f"{dt / args.frames * 1e3:.1f} ms/frame "

@@ -72,6 +72,13 @@ class RenderConfig:
     nee: bool = False         # next-event estimation + MIS (beyond the
     #                           reference, whose transport is BRDF-sampling
     #                           only — README wishlist item)
+    rr_start: int = 0         # Russian roulette from this bounce on (0 =
+    #                           off, matching the reference, which has no
+    #                           path-length control beyond the hard cap).
+    #                           Survival prob = clamp(max(throughput),
+    #                           rr_min_p, 1); throughput /= p on survival —
+    #                           unbiased, detached for gradients.
+    rr_min_p: float = 0.05    # survival-probability floor (variance guard)
     sort_rays: bool | None = None  # octant-sort the wavefront each bounce
     #                           (restores block coherence for the chunked
     #                           kernels on large scenes). None = auto:

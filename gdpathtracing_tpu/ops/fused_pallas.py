@@ -311,6 +311,7 @@ def _make_kernel(config: RenderConfig, n_chunks: int, n_mats: int):
 def fused_supported(scene: Scene, config: RenderConfig) -> bool:
     return (not config.nee and not scene.has_env
             and not scene.has_transmission
+            and config.rr_start == 0
             and scene.textures.shape[0] == 1  # dummy slice only
             and int(jnp.shape(scene.isect_mu)[1]) <= MAX_FUSED_TRIS
             and (scene.mat_tex is not None))

@@ -32,6 +32,23 @@ _WD_EPS = 1e-12
 _MISS = 1e9  # python float: jnp constants would be captured by the kernel
 
 
+def out_vma(*xs):
+    """Union of the varying-manual-axes sets of the kernel inputs.
+
+    Under ``shard_map(check_vma=True)`` a ``pallas_call`` must declare how
+    its outputs vary over mesh axes; outputs vary over every axis any input
+    varies over (the kernels are elementwise in the ray-block axis, and the
+    replicated scene tables contribute the empty set). Outside shard_map
+    every input's vma is the empty frozenset — a no-op."""
+    vma = frozenset()
+    for x in xs:
+        try:
+            vma = vma | jax.typeof(x).vma
+        except (AttributeError, TypeError):
+            pass
+    return vma
+
+
 def _kernel(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref,
             t_ref, idx_ref):
     i = pl.program_id(0)
@@ -132,8 +149,10 @@ def _closest_hit(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
         _kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gr, BN), jnp.float32),
-            jax.ShapeDtypeStruct((gr, BN), jnp.int32),
+            jax.ShapeDtypeStruct((gr, BN), jnp.float32,
+                                 vma=out_vma(o4t, d4t, mu)),
+            jax.ShapeDtypeStruct((gr, BN), jnp.int32,
+                                 vma=out_vma(o4t, d4t, mu)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 6 * 4 * n * e + 12 * n * e,
@@ -352,7 +371,8 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
     (out,) = pl.pallas_call(
         _kernel_rows,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32,
+                                        vma=out_vma(o4t, d4t, mu, tab))],
         cost_estimate=pl.CostEstimate(
             flops=2 * 6 * 4 * n * e + 12 * n * e + 2 * TAB_R * n * e,
             bytes_accessed=(2 * 4 * n + 3 * 4 * e + TAB_R * e
@@ -444,7 +464,8 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
     (out,) = pl.pallas_call(
         functools.partial(_kernel_rows_sc, scc=scc),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32,
+                                        vma=out_vma(o4t, d4t, mu, tab))],
         interpret=interpret,
     )(sc_flat, chunk_flat, o4t, d4t, mu, mv, mw, tab)
     return out
@@ -774,7 +795,8 @@ def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
     (occ,) = pl.pallas_call(
         _occlusion_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32,
+                                        vma=out_vma(o4t, d4t, mu))],
         interpret=interpret,
     )(chunk_bounds.T.reshape(-1), o4t, d4t, t_max.reshape(gr, BN), mu, mv, mw)
     return occ.reshape(-1)
@@ -862,8 +884,10 @@ def _closest_hit_loop(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
         functools.partial(_kernel_loop, n_chunks=n_chunks),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((gr, BN), jnp.float32),
-            jax.ShapeDtypeStruct((gr, BN), jnp.int32),
+            jax.ShapeDtypeStruct((gr, BN), jnp.float32,
+                                 vma=out_vma(o4t, d4t, mu)),
+            jax.ShapeDtypeStruct((gr, BN), jnp.int32,
+                                 vma=out_vma(o4t, d4t, mu)),
         ],
         interpret=interpret,
     )(chunk_bounds.T.reshape(-1), o4t, d4t, mu, mv, mw)

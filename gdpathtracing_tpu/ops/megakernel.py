@@ -46,7 +46,7 @@ from gdpathtracing_tpu.config import RenderConfig
 from gdpathtracing_tpu.core.vec import Vec3, where as vwhere
 from gdpathtracing_tpu.ops.intersect_pallas import (BN, BT, OUT_R, TAB_R,
                                                     _MISS, _rcp, _slab,
-                                                    _sweep_update,
+                                                    _sweep_update, out_vma,
                                                     prepare_trace_inputs)
 from gdpathtracing_tpu.render import brdf
 from gdpathtracing_tpu.render.lights import build_light_table
@@ -105,7 +105,8 @@ def mega_supported(scene: Scene, config: RenderConfig) -> bool:
             and not scene.has_textures and not scene.has_mr_textures
             and nc <= MAX_MEGA_CHUNKS
             and scene.n_lights <= MAX_MEGA_LIGHTS
-            and config.soft_shadows == 0.0)
+            and config.soft_shadows == 0.0
+            and config.rr_start == 0)
 
 
 def _shade_rows(rows, u, v, front, o: Vec3, d: Vec3, t) -> ShadingInfo:
@@ -451,8 +452,10 @@ def _mega_step(chunk_flat, meta, fstate, istate, mu, mv, mw, tab, lt,
     fs2, is2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((FS_R, n), jnp.float32),
-                   jax.ShapeDtypeStruct((IS_R, n), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((FS_R, n), jnp.float32,
+                                        vma=out_vma(fstate, istate, mu)),
+                   jax.ShapeDtypeStruct((IS_R, n), jnp.int32,
+                                        vma=out_vma(fstate, istate, mu))],
         cost_estimate=pl.CostEstimate(
             flops=(2 * 6 * 4 + 12 + 2 * TAB_R) * n * e * (2 if nee else 1),
             bytes_accessed=(2 * (FS_R + IS_R) * n

@@ -97,9 +97,21 @@ def render_radiance_sharded(scene: Scene, camera: Camera,
     # Interleaved assignment: position k on chip c handles pixel k*N + c.
     flat_ids = jnp.arange(padded, dtype=jnp.int32) % n_pix
 
+    # Pallas backends: the kernels declare their out-shape vma from their
+    # inputs (ops.intersect_pallas.out_vma) so the compiled TPU path type-
+    # checks, but interpret mode (the CPU-mesh tests / dryrun) evaluates
+    # the kernel jaxpr with the interpreter's own unvaried loop state and
+    # trips check_vma — JAX's documented workaround is check_vma=False
+    # (the per-ray math is chip-local either way; bit-equality vs the
+    # single-device render is asserted in tests/test_sharding.py).
+    from gdpathtracing_tpu.config import Traversal
+    check_vma = config.traversal not in (Traversal.PALLAS, Traversal.FUSED,
+                                         Traversal.MEGA)
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(AXIS), P()),
-             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
+             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+             check_vma=check_vma)
     def step(scene, camera, pids, frame_index):
         return _trace_pixels(scene, camera, pids, frame_index, config)
 

@@ -304,6 +304,26 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             lambert_in = jnp.where(pick_t, 1.0, lambert_in)
 
         new_throughput = throughput * mult
+
+        if config.rr_start > 0:
+            # Russian roulette (VERDICT r1 item 10): from bounce rr_start
+            # on, continue with probability p = max component of the NEXT
+            # segment's throughput (clamped) and compensate by 1/p —
+            # E[throughput] unchanged, expected path length shortened.
+            # p is detached (a sampling decision, like the BRDF pdf);
+            # gated at the Python level so rr_start=0 leaves the RNG
+            # stream — and every golden — untouched.
+            (r5, _), seed = rng.pcg2d(seed)
+            lum = jnp.maximum(new_throughput.x,
+                              jnp.maximum(new_throughput.y,
+                                          new_throughput.z))
+            p = jax.lax.stop_gradient(
+                jnp.clip(lum, config.rr_min_p, 1.0))
+            do_rr = i >= config.rr_start
+            survive = survive & jnp.where(do_rr, r5 < p, True)
+            boost = jnp.where(do_rr, 1.0 / p, 1.0)
+            new_throughput = new_throughput * boost
+
         new_o = s.position + offset
         ray_o = vwhere(survive, new_o, ray_o)
         ray_d = vwhere(survive, new_dir, ray_d)

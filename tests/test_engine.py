@@ -64,3 +64,21 @@ def test_frame_stats_and_heatmap():
     hm = np.asarray(steps_heatmap(aovs))
     assert hm.shape == (16, 16, 3)
     assert (hm >= 0).all() and (hm <= 1).all()
+
+
+def test_viewer_orbit_loop():
+    """The interactive frame loop (examples/viewer.py) in scripted-orbit
+    mode: real camera motion through Engine + temporal reprojection each
+    frame — the reference's moving-camera regime (movable_camera.gd)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    root = Path(__file__).resolve().parent.parent
+    out = root / "out" / "viewer_test.png"
+    r = subprocess.run(
+        [sys.executable, str(root / "examples" / "viewer.py"),
+         "--script", "orbit", "--frames", "4", "--res", "32",
+         "--traversal", "unit", "--cpu", "--out", str(out)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()

@@ -89,3 +89,35 @@ def test_emissive_sphere_glows():
     img = np.asarray(aovs.radiance)
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_russian_roulette_unbiased_and_shorter():
+    """rr_start > 0 (VERDICT r1 item 10): expected radiance unchanged
+    (statistically), expected path length strictly shorter. Throughput-
+    proportional survival from bounce rr_start on, 1/p compensation."""
+    scene = build_cornell_simple()
+    cam = demo_camera(24, 24)
+    base = RenderConfig(bounces=5, spp=32, traversal=Traversal.BRUTE,
+                        jitter=Jitter.UNIFORM)
+    rr = base.replace(rr_start=2)
+    a = render_radiance(scene, cam, base, frame_index=0)
+    b = render_radiance(scene, cam, rr, frame_index=0)
+    seg_a = int(np.asarray(a.segments, np.int64).sum())
+    seg_b = int(np.asarray(b.segments, np.int64).sum())
+    assert seg_b < seg_a, (seg_b, seg_a)  # roulette shortens paths
+    # Unbiasedness: image means agree to a few percent at this spp count
+    # (Cornell albedos ≤ 0.8 → survival p is high; variance added is mild).
+    ma = float(np.asarray(a.radiance).mean())
+    mb = float(np.asarray(b.radiance).mean())
+    assert abs(ma - mb) / ma < 0.05, (ma, mb)
+    assert np.isfinite(np.asarray(b.radiance)).all()
+
+
+def test_russian_roulette_off_is_bit_identical():
+    """rr_start=0 must not perturb the RNG stream (golden safety)."""
+    scene = build_cornell_simple()
+    cam = demo_camera(16, 16)
+    cfg = RenderConfig(bounces=3, spp=2, traversal=Traversal.BRUTE)
+    a = render_radiance(scene, cam, cfg, 0)
+    b = render_radiance(scene, cam, cfg.replace(rr_start=0), 0)
+    assert np.array_equal(np.asarray(a.radiance), np.asarray(b.radiance))

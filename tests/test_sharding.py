@@ -31,6 +31,56 @@ def test_sharded_matches_single_device_bitwise():
     assert np.array_equal(np.asarray(single.depth), np.asarray(sharded.depth))
 
 
+def test_sharded_pallas_interpret_bitwise(monkeypatch):
+    """VERDICT #6: the flagship PALLAS backend under shard_map (rows kernel
+    in interpret mode on the CPU mesh) must bit-match the single-device
+    render — nee off and on (the NEE path adds the any-hit occlusion kernel
+    to the sharded program)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    scene = build_cornell_simple()
+    cam = demo_camera(40, 24)
+    mesh = make_mesh(jax.devices())
+    for nee in (False, True):
+        cfg = RenderConfig(bounces=2, spp=1, traversal=Traversal.PALLAS,
+                           tile_rays=1024, nee=nee)
+        single = render_radiance(scene, cam, cfg, frame_index=3)
+        sharded = render_radiance_sharded(scene, cam, cfg, 3, mesh)
+        a = np.asarray(single.radiance)
+        b = np.asarray(sharded.radiance)
+        assert np.array_equal(a, b), (nee, np.abs(a - b).max())
+
+
+def test_sharded_pallas_grad_matches_single(monkeypatch):
+    """Gradient of a sharded differentiable-PALLAS render w.r.t. the
+    replicated albedo table: the shard_map transpose inserts the psum over
+    chips; must match the single-device gradient."""
+    import jax.numpy as jnp
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.diff.inverse import image_mse, replace_albedo
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    scene = build_cornell_simple()
+    cam = demo_camera(40, 24)
+    mesh = make_mesh(jax.devices())
+    cfg = RenderConfig(bounces=2, spp=1, traversal=Traversal.PALLAS,
+                       tile_rays=1024, differentiable=True)
+    target = jnp.zeros((24, 40, 3), jnp.float32)
+
+    def loss_sharded(albedo):
+        s = replace_albedo(scene, albedo)
+        aovs = render_radiance_sharded(s, cam, cfg, 0, mesh)
+        return image_mse(aovs.radiance, target)
+
+    def loss_single(albedo):
+        s = replace_albedo(scene, albedo)
+        return image_mse(render_radiance(s, cam, cfg, 0).radiance, target)
+
+    g_sh = np.asarray(jax.grad(loss_sharded)(scene.mat_albedo))
+    g_1 = np.asarray(jax.grad(loss_single)(scene.mat_albedo))
+    assert np.allclose(g_sh, g_1, rtol=1e-5, atol=1e-7), \
+        np.abs(g_sh - g_1).max()
+
+
 def test_sharded_odd_sizes():
     scene = build_cornell_simple()
     cam = demo_camera(13, 7)  # 91 px: forces padding
