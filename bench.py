@@ -39,6 +39,17 @@ def main() -> None:
                     help="force per-bounce ray sorting (parks dead rays in "
                          "tail blocks that skip every chunk sweep; auto-on "
                          "only for >16-chunk scenes otherwise)")
+    ap.add_argument("--no-sort", action="store_true",
+                    help="force per-bounce ray sorting OFF (overrides the "
+                         ">16-chunk auto heuristic — for the sorting "
+                         "decision table)")
+    ap.add_argument("--compact", action="store_true",
+                    help="force survivor stream compaction on (cumsum "
+                         "partition, no argsort; wavefront-PALLAS needs "
+                         "--no-sort too since sort subsumes it)")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="force stream compaction OFF (MEGA auto-enables "
+                         "it for >=4-block wavefronts otherwise)")
     ap.add_argument("--scene", default="demo", choices=["demo", "grid"],
                     help="demo = reference Cornell scene (~1.5k tris); "
                          "grid = 100-instance sphere grid (~100k tris)")
@@ -74,6 +85,12 @@ def main() -> None:
         config = config.replace(tile_rays=args.tile_rays)
     if args.sort:
         config = config.replace(sort_rays=True)
+    if args.no_sort:
+        config = config.replace(sort_rays=False)
+    if args.compact:
+        config = config.replace(compact_rays=True)
+    if args.no_compact:
+        config = config.replace(compact_rays=False)
 
     # All frames run inside ONE jitted program (lax.scan): per-dispatch
     # tunnel latency (~25 ms floor, ~300 ms for multi-output pytrees on

@@ -83,6 +83,20 @@ class RenderConfig:
     #                           (restores block coherence for the chunked
     #                           kernels on large scenes). None = auto:
     #                           on for PALLAS + >16-chunk scenes.
+    compact_rays: bool | None = None  # stream-compact the wavefront
+    #                           between bounces (stable partition of the
+    #                           state by `active`, cumsum-based — no
+    #                           argsort). Dead rays pack into tail blocks
+    #                           whose slab tests all fail, so terminated
+    #                           paths cost zero sweeps (the TPU analog of
+    #                           SIMT early thread exit, main.glsl:390-396);
+    #                           survivors keep their pixel-coherent order.
+    #                           Per-ray results (radiance, depth, steps,
+    #                           segments) are permutation-invariant, so
+    #                           it is result-transparent. Applies to MEGA
+    #                           (None = auto: on for wavefronts >= 4
+    #                           blocks) and to wavefront-PALLAS (None =
+    #                           off; sort_rays subsumes it when on).
     differentiable: bool = False  # differentiable render path: PALLAS
     #                           traversal becomes a primal hit-finder with a
     #                           differentiable recompute epilogue
@@ -91,6 +105,21 @@ class RenderConfig:
     #                           bounce so backward memory stays O(wavefront)
     #                           instead of O(wavefront x bounces x ops).
     #                           BRUTE/UNIT are differentiable regardless.
+    grad_attached: bool = False  # gradient strategy for the sampling terms
+    #                           (Mitsuba's attached/detached distinction).
+    #                           False (default) = DETACHED: the sampled
+    #                           bounce direction and every pdf are
+    #                           stop-gradient'ed — the standard low-variance
+    #                           unbiased estimator of dE[L]/dθ; per-sample
+    #                           AD deliberately differs from FD of the
+    #                           primal for parameters that move the samples
+    #                           (vertices/normals/camera). True = ATTACHED:
+    #                           nothing is detached, so jax.grad equals the
+    #                           finite difference of the primal estimator
+    #                           exactly (chain rule, fixed RNG) — what FD
+    #                           gradient tests and reparameterization-style
+    #                           estimators need. The primal image is
+    #                           IDENTICAL either way.
     soft_shadows: float = 0.0  # > 0: differentiable soft-shadow visibility
     #                           with this barycentric edge width (NEE +
     #                           BRUTE/UNIT backends; gradients of shadows

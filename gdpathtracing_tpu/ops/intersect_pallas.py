@@ -278,35 +278,44 @@ def _sweep_update(out_ref, o4, d4, mu, mv, mw, tab_chunk, global_base):
     t = jnp.where(valid, t, _MISS)
 
     tk = jnp.min(t, axis=1)                      # (BN,)
-    k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
     better = tk < cur
-    bf = better.astype(jnp.float32)
 
-    # Winner one-hot (f32: Mosaic only inserts minor dims for 32-bit
-    # types, so the bool mask rides along as a multiply).
-    bn, bt = t.shape
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (bn, bt), 1)
-              == k[:, None]).astype(jnp.float32) * bf[:, None]
+    # Winner merge only when some ray actually improved: the argmin, the
+    # one-hot, three masked lane-reductions, the (TAB_R, BN) MXU row
+    # fetch and five merge-writes are the expensive half of the sweep,
+    # and on incoherent wavefronts most later chunks improve nobody.
+    # pl.when-skipping them leaves out_ref holding the previous winner —
+    # exactly the all-`better`-false result.
+    @pl.when(jnp.any(better))
+    def _():
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
+        bf = better.astype(jnp.float32)
 
-    u_w = jnp.sum(u * onehot, axis=1)
-    v_w = jnp.sum(v * onehot, axis=1)
-    wd_w = jnp.sum(w_d * onehot, axis=1)
+        # Winner one-hot (f32: Mosaic only inserts minor dims for 32-bit
+        # types, so the bool mask rides along as a multiply).
+        bn, bt = t.shape
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (bn, bt), 1)
+                  == k[:, None]).astype(jnp.float32) * bf[:, None]
 
-    # Winner's table row: (40, BT) x (BN, BT)ᵀ → (40, BN) on the MXU.
-    rows = jax.lax.dot_general(
-        tab_chunk, onehot, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+        u_w = jnp.sum(u * onehot, axis=1)
+        v_w = jnp.sum(v * onehot, axis=1)
+        wd_w = jnp.sum(w_d * onehot, axis=1)
 
-    old = out_ref[0:TAB_R, :]
-    bf_row = bf[None, :]
-    out_ref[0:TAB_R, :] = old + (rows - old) * bf_row
-    out_ref[40, :] = jnp.where(better, tk, cur)
-    out_ref[41, :] = jnp.where(better, u_w, out_ref[41, :])
-    out_ref[42, :] = jnp.where(better, v_w, out_ref[42, :])
-    out_ref[43, :] = jnp.where(better, wd_w, out_ref[43, :])
-    out_ref[44, :] = jnp.where(
-        better, (global_base + k).astype(jnp.float32), out_ref[44, :])
+        # Winner's table row: (40, BT) x (BN, BT)ᵀ → (40, BN) on the MXU.
+        rows = jax.lax.dot_general(
+            tab_chunk, onehot, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+        old = out_ref[0:TAB_R, :]
+        bf_row = bf[None, :]
+        out_ref[0:TAB_R, :] = old + (rows - old) * bf_row
+        out_ref[40, :] = jnp.where(better, tk, cur)
+        out_ref[41, :] = jnp.where(better, u_w, out_ref[41, :])
+        out_ref[42, :] = jnp.where(better, v_w, out_ref[42, :])
+        out_ref[43, :] = jnp.where(better, wd_w, out_ref[43, :])
+        out_ref[44, :] = jnp.where(
+            better, (global_base + k).astype(jnp.float32), out_ref[44, :])
 
 
 def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,

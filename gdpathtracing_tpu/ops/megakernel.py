@@ -105,8 +105,7 @@ def mega_supported(scene: Scene, config: RenderConfig) -> bool:
             and not scene.has_textures and not scene.has_mr_textures
             and nc <= MAX_MEGA_CHUNKS
             and scene.n_lights <= MAX_MEGA_LIGHTS
-            and config.soft_shadows == 0.0
-            and config.rr_start == 0)
+            and config.soft_shadows == 0.0)
 
 
 def _shade_rows(rows, u, v, front, o: Vec3, d: Vec3, t) -> ShadingInfo:
@@ -233,12 +232,8 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                               mw_ref[...], tab_ref[...], j * BT)
 
         if nee:
-            # ---- Epilogue A (last closest-hit step): build shadow rays ----
-            @pl.when(j == nc - 1)
-            def _():
+            def _epilogue_a(fs, act):
                 rows = acc_ref[...]
-                fs = fs_ref[...]
-                act = fs[12, :] > 0.0
                 t = rows[40]
                 hit = (t < _MISS) & act
                 u = jnp.clip(rows[41], 0.0, 1.0)
@@ -265,6 +260,33 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                 shd4[3, :] = jnp.zeros_like(so.x)
                 shm[0, :] = jnp.where(sh_act, dist * (1.0 - 1e-3), 0.0)
                 shm[1, :] = jnp.zeros_like(so.x)  # occluded accumulator
+
+            # ---- Epilogue A (last closest-hit step): build shadow rays ----
+            @pl.when(j == nc - 1)
+            def _():
+                fs = fs_ref[...]
+                act = fs[12, :] > 0.0
+                any_act = jnp.any(act)
+
+                # All-dead block (stream compaction parks terminated rays
+                # in tail blocks): skip the shading/light math, just park
+                # the shadow rays so phase B's slab tests all fail.
+                @pl.when(~any_act)
+                def _():
+                    ones = jnp.ones((sho4.shape[1],), jnp.float32)
+                    sho4[0, :] = ones * _PARK
+                    sho4[1, :] = ones * _PARK
+                    sho4[2, :] = ones * _PARK
+                    sho4[3, :] = ones
+                    shd4[0, :] = ones * _PARK_D
+                    shd4[1, :] = ones * _PARK_D
+                    shd4[2, :] = ones * _PARK_D
+                    shd4[3, :] = ones * 0.0
+                    shm[...] = jnp.zeros(shm.shape, jnp.float32)
+
+                @pl.when(any_act)
+                def _():
+                    _epilogue_a(fs, act)
 
             # ---- Phase B: any-hit sweep of chunk (j - nc), shadow rays ----
             @pl.when(j >= nc)
@@ -302,13 +324,9 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                         occ, jnp.any(blocked, axis=1).astype(jnp.float32))
 
         # ---- Epilogue B (last step): shade, NEE, sample, write state ----
-        @pl.when(j == nsteps - 1)
-        def _():
+        def _epilogue_b(fs, iv, act):
             rows = acc_ref[...]
-            fs = fs_ref[...]
-            iv = is_ref[...]
             sx, sy = iv[0, :], iv[1, :]
-            act = fs[12, :] > 0.0
             t = rows[40]
             hit = (t < _MISS) & act
             u = jnp.clip(rows[41], 0.0, 1.0)
@@ -371,6 +389,23 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                               lambert_in / jnp.maximum(pdf, 1e-12), 0.0)
             mult = f * scale
             survive = hit & (lambert_in > 0.0) & (pdf > 1e-12)
+
+            if config.rr_start > 0:
+                # Russian roulette, same stream as the integrator: the
+                # draw is unconditional whenever rr_start > 0 (Python-
+                # level gate), the kill is applied from bounce rr_start
+                # on (render/integrator.py RR block).
+                (r5, _), (sx, sy) = _pcg2d_i32(sx, sy)
+                ntx = tp.x * mult.x
+                nty = tp.y * mult.y
+                ntz = tp.z * mult.z
+                lum = jnp.maximum(ntx, jnp.maximum(nty, ntz))
+                p = jnp.clip(lum, config.rr_min_p, 1.0)
+                do_rr = bounce >= config.rr_start
+                survive = survive & jnp.where(do_rr, r5 < p, True)
+                boost = jnp.where(do_rr, 1.0 / p, 1.0)
+                mult = mult * boost
+
             new_o = s.position + s.normal * ray_eps
 
             ofs_ref[0, :] = jnp.where(survive, new_o.x, fs[0])
@@ -401,6 +436,26 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
             ois_ref[3, :] = iv[3, :] + segs_add
             for r_ in range(4, IS_R):
                 ois_ref[r_, :] = iv[r_]
+
+        @pl.when(j == nsteps - 1)
+        def _():
+            fs = fs_ref[...]
+            iv = is_ref[...]
+            act = fs[12, :] > 0.0
+            any_act = jnp.any(act)
+
+            # All-dead block (stream compaction): state passes through
+            # unchanged — a terminated ray's epilogue is the identity
+            # (survive stays false, radiance/depth/normal/steps/segments
+            # unchanged, and its RNG draws are never consumed again).
+            @pl.when(~any_act)
+            def _():
+                ofs_ref[...] = fs
+                ois_ref[...] = iv
+
+            @pl.when(any_act)
+            def _():
+                _epilogue_b(fs, iv, act)
 
     return kernel, nsteps, nee
 
@@ -522,12 +577,54 @@ def path_trace_mega(scene: Scene, ray, seed, config: RenderConfig,
     lt = _build_light_block(scene) if nee else \
         jnp.zeros((LT_R, 128), jnp.float32)
 
+    # Per-bounce stream compaction (config.compact_rays): stable-partition
+    # the packed state so live rays fill the leading blocks and dead rays
+    # park in all-dead tail blocks that fail every chunk slab test — the
+    # TPU analog of SIMT early thread exit (main.glsl:390-396). A cumsum
+    # prefix-sum partition (no argsort) + one scatter + two row-matrix
+    # gathers; bit-transparent because every per-ray output (radiance,
+    # depth, steps, segments) is permutation-invariant.
+    compact = config.compact_rays
+    if compact is None:
+        compact = n_pad >= 4 * BN
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    src = iota  # original slot of the ray at each current position
+
     for b in range(config.bounces):
+        if compact and b > 0:
+            # Stable counting sort by (live octant | dead): 9 buckets,
+            # one cumsum each — direction-coherent live blocks (per-block
+            # slab cull can reject chunks behind the whole block) and
+            # all-dead tail blocks, without a bitonic argsort.
+            act = fstate[12, :] > 0.0
+            octant = ((fstate[3, :] > 0.0).astype(jnp.int32) * 4
+                      + (fstate[4, :] > 0.0).astype(jnp.int32) * 2
+                      + (fstate[5, :] > 0.0).astype(jnp.int32))
+            key = jnp.where(act, octant, 8)
+            dest = jnp.zeros(n_pad, jnp.int32)
+            base = jnp.int32(0)
+            for bk in range(9):
+                m = key == bk
+                r = jnp.cumsum(m.astype(jnp.int32))
+                dest = jnp.where(m, base + r - 1, dest)
+                base = base + r[-1]
+            perm = jnp.zeros(n_pad, jnp.int32).at[dest].set(iota)
+            # Permute via ROW gathers of the transposed state: one
+            # contiguous (FS_R·4 B)-row fetch per ray instead of FS_R
+            # scattered column elements (TPU gathers want packed rows).
+            fstate = fstate.T[perm].T
+            istate = istate.T[perm].T
+            src = src[perm]
         meta = jnp.array([b], jnp.int32)
         fstate, istate = _mega_step(
             prep.chunk_flat, meta, fstate, istate,
             prep.mu, prep.mv, prep.mw, prep.tab, lt,
             config, nc, scene.n_lights if nee else 0, interpret)
+
+    if compact:
+        inv = jnp.zeros(n_pad, jnp.int32).at[src].set(iota)
+        fstate = fstate.T[inv].T
+        istate = istate.T[inv].T
 
     return PathTraceResult(
         radiance=Vec3(fstate[9, :n], fstate[10, :n], fstate[11, :n]),

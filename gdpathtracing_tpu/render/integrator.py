@@ -133,39 +133,75 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     if sort_rays is None:
         sort_rays = (config.traversal == Traversal.PALLAS
                      and scene.isect_mu.shape[1] > 16 * 256)
+    # Survivor compaction WITHOUT the Morton sort (VERDICT r2 item 3):
+    # stable cumsum partition by `active` — survivors keep their original
+    # (pixel-coherent) relative order, dead rays pack into tail blocks
+    # that skip every chunk sweep. Much cheaper than argsort (one cumsum
+    # + scatter) and preserves origin coherence the Morton re-sort
+    # destroys; the grid-scene decision table in docs/ARCHITECTURE.md
+    # picks between the two. Sort subsumes compaction (dead rays are
+    # already keyed last), so sort wins when both are on.
+    compact_rays = (bool(config.compact_rays)
+                    and not sort_rays
+                    and config.traversal == Traversal.PALLAS)
+    reorder = sort_rays or compact_rays
 
     def body(i, carry):
-        if sort_rays:
+        if reorder:
             (ray_o, ray_d, throughput, radiance, active, seed, depth,
              steps, segments, prev_pdf, normal, src) = carry
-            # Key = Morton cell of the ray ORIGIN (major, 8³ scene cells)
-            # then direction octant (minor): blocks get tight origin
-            # bounds AND a shared direction cone — both are what the
-            # per-block slab culling needs. Octant-only sorting measured
-            # only 1.4x on the grid scene: once survivors are sparse, an
-            # octant's rays come from all over the image and the block's
-            # origin AABB covers the whole scene.
-            def q3(x, lo, span):
-                return jnp.clip(((x - lo) / span * 8.0).astype(jnp.int32),
-                                0, 7)
+            if sort_rays:
+                # Key = Morton cell of the ray ORIGIN (major, 8³ scene
+                # cells) then direction octant (minor): blocks get tight
+                # origin bounds AND a shared direction cone — both are
+                # what the per-block slab culling needs. Octant-only
+                # sorting measured only 1.4x on the grid scene: once
+                # survivors are sparse, an octant's rays come from all
+                # over the image and the block's origin AABB covers the
+                # whole scene.
+                def q3(x, lo, span):
+                    return jnp.clip(
+                        ((x - lo) / span * 8.0).astype(jnp.int32), 0, 7)
 
-            cb = scene.isect_chunk_bounds
-            lo = cb[0:3].min(axis=1)
-            span = jnp.maximum(cb[3:6].max(axis=1) - lo, 1e-6)
-            qx = q3(ray_o.x, lo[0], span[0])
-            qy = q3(ray_o.y, lo[1], span[1])
-            qz = q3(ray_o.z, lo[2], span[2])
-            cell = jnp.zeros_like(qx)
-            for b in range(3):  # 9-bit Morton interleave of 3-bit coords
-                cell = cell | (((qx >> b) & 1) << (3 * b + 2)) \
-                    | (((qy >> b) & 1) << (3 * b + 1)) \
-                    | (((qz >> b) & 1) << (3 * b))
-            octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
-                      + (ray_d.y > 0.0).astype(jnp.int32) * 2
-                      + (ray_d.z > 0.0).astype(jnp.int32))
-            key = cell * 8 + octant
-            key = jnp.where(active, key, 1 << 14)  # dead rays last
-            order = jnp.argsort(key, stable=True)
+                cb = scene.isect_chunk_bounds
+                lo = cb[0:3].min(axis=1)
+                span = jnp.maximum(cb[3:6].max(axis=1) - lo, 1e-6)
+                qx = q3(ray_o.x, lo[0], span[0])
+                qy = q3(ray_o.y, lo[1], span[1])
+                qz = q3(ray_o.z, lo[2], span[2])
+                cell = jnp.zeros_like(qx)
+                for b in range(3):  # 9-bit Morton interleave of 3-bit
+                    cell = cell | (((qx >> b) & 1) << (3 * b + 2)) \
+                        | (((qy >> b) & 1) << (3 * b + 1)) \
+                        | (((qz >> b) & 1) << (3 * b))
+                octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
+                          + (ray_d.y > 0.0).astype(jnp.int32) * 2
+                          + (ray_d.z > 0.0).astype(jnp.int32))
+                key = cell * 8 + octant
+                key = jnp.where(active, key, 1 << 14)  # dead rays last
+                order = jnp.argsort(key, stable=True)
+            else:
+                # Compaction: stable COUNTING sort by (live octant | dead)
+                # — 9 buckets, one cumsum each, no bitonic argsort (which
+                # round-2 measured as a 6x loss). Dead rays pack last into
+                # all-parked blocks; live rays group by direction octant,
+                # so a block's rays share sign(d) and the per-block slab
+                # cull can reject chunks behind the whole block — the
+                # coherence the first diffuse bounce destroys. Stable ⇒
+                # pixel (origin) order survives within each bucket.
+                octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
+                          + (ray_d.y > 0.0).astype(jnp.int32) * 2
+                          + (ray_d.z > 0.0).astype(jnp.int32))
+                key = jnp.where(active, octant, 8)
+                dest = jnp.zeros(n, jnp.int32)
+                base = jnp.int32(0)
+                for bk in range(9):
+                    m = key == bk
+                    r = jnp.cumsum(m.astype(jnp.int32))
+                    dest = jnp.where(m, base + r - 1, dest)
+                    base = base + r[-1]
+                order = jnp.zeros(n, jnp.int32).at[dest].set(
+                    jnp.arange(n, dtype=jnp.int32))
 
             def g(x):
                 return x[order]
@@ -249,13 +285,21 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                               ).astype(jnp.float32)
             segments = segments + shadow_active.astype(jnp.int32)
             f_l = brdf.eval_brdf(s, ls.wi)
-            pb_l = jax.lax.stop_gradient(brdf.brdf_pdf(s, ls.wi))
-            pl_l = jax.lax.stop_gradient(ls.pdf_solid)
-            w_l = (pl_l * pl_l) / jnp.maximum(pl_l * pl_l + pb_l * pb_l,
-                                              1e-20)
-            scale_l = jnp.where(
-                shadow_active & (pl_l > 1e-12) & jnp.isfinite(pl_l),
-                cos_i * w_l / jnp.maximum(pl_l, 1e-12), 0.0) * visibility
+            sgp = (lambda x: x) if config.grad_attached \
+                else jax.lax.stop_gradient
+            pb_l = sgp(brdf.brdf_pdf(s, ls.wi))
+            pl_l = sgp(ls.pdf_solid)
+            # Sanitize the inf sentinel (grazing light sample) BEFORE any
+            # arithmetic: inf/inf = NaN in the primal w_l, and although the
+            # where() masks it, the backward pass multiplies that NaN into
+            # the cos_i branch (NaN · 0-cotangent = NaN) — poisoning vertex
+            # and camera gradients while leaving albedo gradients clean.
+            pl_ok = jnp.isfinite(pl_l) & (pl_l > 1e-12)
+            pl_safe = jnp.where(pl_ok, pl_l, 1.0)
+            w_l = (pl_safe * pl_safe) / jnp.maximum(
+                pl_safe * pl_safe + pb_l * pb_l, 1e-20)
+            scale_l = jnp.where(shadow_active & pl_ok,
+                                cos_i * w_l / pl_safe, 0.0) * visibility
             direct = throughput * f_l * ls.emission * scale_l
             if scene.has_transmission:
                 direct = direct * (1.0 - s.transmission)
@@ -268,13 +312,18 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         first = (i == 0) & is_hit
         normal = vwhere(first, s.normal, normal)
 
-        # Next segment: detached BRDF sampling.
+        # Next segment: BRDF sampling — detached (direction + pdf
+        # stop-gradient'ed) by default, fully attached when
+        # config.grad_attached (per-sample FD-matchable; see config.py).
         (r1, r2), seed = rng.pcg2d(seed)
         new_dir = brdf.sample_brdf(s, r1, r2)
-        new_dir = Vec3(jax.lax.stop_gradient(new_dir.x),
-                       jax.lax.stop_gradient(new_dir.y),
-                       jax.lax.stop_gradient(new_dir.z))
-        pdf = jax.lax.stop_gradient(brdf.brdf_pdf(s, new_dir))
+        if not config.grad_attached:
+            new_dir = Vec3(jax.lax.stop_gradient(new_dir.x),
+                           jax.lax.stop_gradient(new_dir.y),
+                           jax.lax.stop_gradient(new_dir.z))
+        pdf = brdf.brdf_pdf(s, new_dir)
+        if not config.grad_attached:
+            pdf = jax.lax.stop_gradient(pdf)
         lambert_in = s.normal.dot(new_dir)
         f = brdf.eval_brdf(s, new_dir)
         scale = jnp.where(pdf > 1e-12, lambert_in / jnp.maximum(pdf, 1e-12),
@@ -342,7 +391,7 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             zero_n.astype(bool) | True, seed,
             zero_n + f32(far), zero_n.astype(jnp.int32),
             zero_n.astype(jnp.int32), zero_n - 1.0, zero3)
-    if sort_rays:
+    if reorder:
         init = init + (zero_n.astype(jnp.int32) + jnp.arange(n),)
     if config.differentiable:
         # Reverse-mode memory: checkpoint each bounce so the backward pass
@@ -356,7 +405,7 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         out = jax.lax.fori_loop(0, config.bounces, body, init)
     radiance, depth, steps, segments, normal = (out[3], out[6], out[7],
                                                 out[8], out[10])
-    if sort_rays:
+    if reorder:
         # Scatter every per-ray output back to its source slot (the
         # composed per-bounce permutation lives in `src`).
         src = out[11]

@@ -158,6 +158,79 @@ def test_unbiased_mse_grad_converges_from_perturbation():
     assert err1.max() < 0.3, err1.max(axis=1)
 
 
+def test_pallas_vertex_gradient_matches_fd(monkeypatch):
+    """VERDICT r2 item 5: vertex gradients through the FAST path.
+    replace_vertices rebuilds the isect tables in-graph
+    (scene/dynamic.update_vertices), so trace_pallas_diff's recompute
+    epilogue — t, u, v from isect_cols — is a differentiable function of
+    tri_pos; the normal-interpolation term (sphere scene) gives a smooth
+    interior dependence to FD against. Per-sample FD-match requires the
+    ATTACHED gradient strategy (config.grad_attached: nothing detached →
+    jax.grad is the exact chain-rule derivative of the primal estimator;
+    the detached default is a different — also unbiased — estimator that
+    only agrees in expectation). Silhouette pixels are excluded from the
+    loss (hard visibility flips are the known-unmodeled term)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    from gdpathtracing_tpu.scene.demo import build_demo_scene
+
+    scene = build_demo_scene(texture_resolution=4, sphere_detail=6,
+                             geometry="sphere")
+    cam = demo_camera(RES, RES)
+    cfg = RenderConfig(bounces=2, spp=1, traversal=Traversal.PALLAS,
+                       jitter=Jitter.NONE, differentiable=True,
+                       grad_attached=True)
+
+    # Interior mask: pixels whose 8-neighborhood all hit the same instance
+    # stay off the silhouettes (winner flips under FD are continuous across
+    # shared mesh edges but not across object boundaries).
+    base = render_radiance(scene, cam, cfg, 0)
+    depth = np.asarray(base.depth)
+    hitm = depth < 999.0
+    interior = hitm.copy()
+    for sy in (-1, 0, 1):
+        for sx in (-1, 0, 1):
+            interior &= np.roll(np.roll(hitm, sy, 0), sx, 1)
+    w = jnp.asarray(interior.astype(np.float32))[:, :, None]
+
+    def f(tp):
+        s = replace_vertices(scene, tp)
+        rad = render_radiance(s, cam, cfg, 0).radiance
+        return jnp.sum(rad * w) / jnp.sum(w)
+
+    tp0 = scene.tri_pos
+    g = np.asarray(jax.grad(f)(tp0))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+    flat = np.abs(g).reshape(-1)
+    cand = np.argsort(-flat)[:24]
+    # eps balances central-difference truncation against f32 roundoff of
+    # the scalar loss (~1e-7 relative / 2eps absolute FD noise): 5e-3
+    # puts the noise floor ~1e-5, well under the ~1e-3 top components.
+    eps = 5e-3
+    checked = 0
+    rels = []
+    for ci in cand:
+        ti, vi, xi = np.unravel_index(ci, g.shape)
+        if abs(g[ti, vi, xi]) < 1e-4:
+            continue
+        fd = (float(f(tp0.at[ti, vi, xi].add(eps)))
+              - float(f(tp0.at[ti, vi, xi].add(-eps)))) / (2 * eps)
+        rel = abs(fd - g[ti, vi, xi]) / max(abs(fd), abs(g[ti, vi, xi]),
+                                            1e-8)
+        rels.append((rel, ti, vi, xi, fd, float(g[ti, vi, xi])))
+        checked += 1
+        if checked >= 6:
+            break
+    assert checked >= 4, rels
+    # Most components FD-match tightly; tolerate ONE outlier (a component
+    # whose perturbation crosses a secondary-visibility threshold).
+    good = sorted(r[0] for r in rels)
+    assert good[len(good) // 2] < 0.05, rels   # median tight
+    assert sum(r < 0.10 for r in good) >= checked - 1, rels
+
+
 def test_pallas_diff_gradient_matches_fd(monkeypatch):
     """VERDICT r1 item 3: the PALLAS path must be differentiable. With
     config.differentiable the kernel becomes a primal hit-finder and the

@@ -197,6 +197,33 @@ def test_octant_sort_is_transparent(monkeypatch):
                                   np.asarray(b.segments))
 
 
+def test_wavefront_compaction_is_transparent(monkeypatch):
+    """Survivor compaction on the wavefront-PALLAS path (VERDICT r2
+    item 3: config.compact_rays with sort_rays off — stable cumsum
+    partition by `active`) must be invisible in the per-ray results:
+    radiance/depth/segments bit-match the uncompacted render after the
+    final unsort scatter. (steps may differ: block composition changes
+    which chunks a block collectively sweeps.)"""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.config import Jitter, RenderConfig, Traversal
+    from gdpathtracing_tpu.render.renderer import render_radiance
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid, grid_camera
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    scene = build_sphere_grid(n=4, sphere_detail=12)
+    cam = grid_camera(48, 32, n=4)  # several blocks → real tail parking
+    base = dict(bounces=3, spp=1, jitter=Jitter.NONE,
+                traversal=Traversal.PALLAS, sort_rays=False)
+    a = render_radiance(scene, cam,
+                        RenderConfig(compact_rays=True, **base), 0)
+    b = render_radiance(scene, cam,
+                        RenderConfig(compact_rays=False, **base), 0)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.segments),
+                                  np.asarray(b.segments))
+
+
 def test_pallas_render_matches_unit_end_to_end(monkeypatch):
     """End-to-end guard on the packed rows (materials, NEE pdf term,
     emitter normal — build_trace_table rows 15-33) and on

@@ -68,6 +68,28 @@ def test_mega_matches_pallas_wavefront_exactly(scene, monkeypatch):
                                   np.asarray(pal.steps))
 
 
+@pytest.mark.parametrize("nee", [False, True])
+def test_mega_render_matches_unit_with_rr(scene, monkeypatch, nee):
+    """Russian roulette in-kernel (VERDICT r2 item 8): rr_start > 0 no
+    longer falls outside mega_supported; the in-kernel draw consumes the
+    same PCG2D step as the integrator's, so images still match UNIT."""
+    _interpret(monkeypatch)
+    from gdpathtracing_tpu.ops.megakernel import mega_supported
+    cam = demo_camera(24, 16)
+    base = dict(bounces=5, spp=1, jitter=Jitter.NONE, nee=nee,
+                rr_start=1, rr_min_p=0.05)
+    cfg_mega = RenderConfig(traversal=Traversal.MEGA, **base)
+    assert mega_supported(scene, cfg_mega)
+    mega = render_radiance(scene, cam, cfg_mega, 2)
+    unit = render_radiance(scene, cam, RenderConfig(
+        traversal=Traversal.UNIT, **base), 2)
+    assert np.allclose(np.asarray(mega.radiance),
+                       np.asarray(unit.radiance),
+                       rtol=1e-5, atol=1e-5), f"nee={nee}"
+    np.testing.assert_array_equal(np.asarray(mega.segments),
+                                  np.asarray(unit.segments))
+
+
 def test_mega_steps_aov_counts_swept_triangles(scene, monkeypatch):
     _interpret(monkeypatch)
     cam = demo_camera(16, 12)
@@ -77,6 +99,26 @@ def test_mega_steps_aov_counts_swept_triangles(scene, monkeypatch):
     e = scene.isect_mu.shape[1]
     assert (steps >= 0).all() and (steps <= 2 * e).all()
     assert steps.min() < steps.max()
+
+
+@pytest.mark.parametrize("nee", [False, True])
+def test_mega_compaction_bit_transparent(scene, monkeypatch, nee):
+    """Stream compaction (config.compact_rays) stable-partitions the packed
+    state between bounces; every per-ray output — including the steps AOV,
+    which counts the ray's own slab passes — is permutation-invariant, so
+    results must be BIT-identical with it on or off."""
+    _interpret(monkeypatch)
+    cam = demo_camera(48, 32)  # > 4 blocks so tail blocks go all-dead
+    base = dict(bounces=4, spp=1, jitter=Jitter.UNIFORM, nee=nee,
+                traversal=Traversal.MEGA)
+    on = render_radiance(scene, cam, RenderConfig(compact_rays=True,
+                                                  **base), 1)
+    off = render_radiance(scene, cam, RenderConfig(compact_rays=False,
+                                                   **base), 1)
+    for field in ("radiance", "depth", "steps", "segments", "normal"):
+        np.testing.assert_array_equal(np.asarray(getattr(on, field)),
+                                      np.asarray(getattr(off, field)),
+                                      err_msg=f"{field} nee={nee}")
 
 
 def test_mega_supported_gates():
