@@ -318,8 +318,43 @@ def _sweep_update(out_ref, o4, d4, mu, mv, mw, tab_chunk, global_base):
             better, (global_base + k).astype(jnp.float32), out_ref[44, :])
 
 
-def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,
-                 out_ref):
+def _block_chunk_order(o4t, chunk_bounds):
+    """(n_blocks, nc) i32: per-ray-block NEAR-TO-FAR chunk visit order.
+
+    Front-to-back sweep order is what makes the `tmin < cur` cull fire:
+    once a block's rays find hits in near chunks, far chunks fail the
+    slab test for the whole block and are skipped — the stackless analog
+    of ordered BVH descent (main.glsl:337-338 culls children against the
+    current hit the same way). The winner is visit-order independent, so
+    results are unchanged; only the number of swept chunks (steps AOV)
+    drops. Key = squared distance from the block's live-ray origin
+    centroid to the chunk AABB. Parked rays (origin 1e9) are excluded
+    from the centroid; all-dead blocks order arbitrarily (every chunk is
+    slab-culled for them anyway)."""
+    nc = chunk_bounds.shape[1]
+    ox = o4t[0].reshape(-1, BN)
+    oy = o4t[1].reshape(-1, BN)
+    oz = o4t[2].reshape(-1, BN)
+    live = (jnp.abs(ox) < 1e8).astype(jnp.float32)
+    wsum = jnp.maximum(live.sum(axis=1), 1.0)
+    cx = (ox * live).sum(axis=1) / wsum
+    cy = (oy * live).sum(axis=1) / wsum
+    cz = (oz * live).sum(axis=1) / wsum
+    lo = chunk_bounds[0:3]  # (3, nc)
+    hi = chunk_bounds[3:6]
+
+    def ax(c, a):
+        return jnp.maximum(jnp.maximum(lo[a][None, :] - c[:, None],
+                                       c[:, None] - hi[a][None, :]), 0.0)
+
+    dx, dy, dz = ax(cx, 0), ax(cy, 1), ax(cz, 2)
+    dist2 = dx * dx + dy * dy + dz * dz  # (n_blocks, nc)
+    return jnp.argsort(dist2, axis=1).astype(jnp.int32)
+
+
+def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, mu_ref, mv_ref,
+                 mw_ref, tab_ref, out_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -331,22 +366,25 @@ def _kernel_rows(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref, tab_ref,
     d4 = d4_ref[...]
     cur = out_ref[40, :]
 
+    bt = mu_ref.shape[1]
+    nc = tab_ref.shape[1] // bt
+    cid = order_ref[i * nc + j]  # this block's j-th nearest chunk
+
     ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
-    tmin, tmax = _slab(chunk_ref, j * 8, ox, oy, oz,
+    tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
                        _rcp(dx), _rcp(dy), _rcp(dz))
     may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
 
     @pl.when(jnp.any(may_hit))
     def _():
-        bt = mu_ref.shape[1]
         # Per-ray sweep cost: rays whose slab test passed pay BT triangle
         # tests this step (the whole chunk is swept for the block, but a
         # culled ray's lanes do no useful work — count the chunk for the
         # rays that actually needed it).
         out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
         _sweep_update(out_ref, o4, d4, mu_ref[...], mv_ref[...], mw_ref[...],
-                      tab_ref[:, pl.ds(j * bt, bt)], j * bt)
+                      tab_ref[:, pl.ds(cid * bt, bt)], cid * bt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -360,17 +398,26 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
     one kernel call."""
     n = o4t.shape[1]
     e = mu.shape[1]
-    grid = (n // BN, e // BT)
+    nc = e // BT
+    grid = (n // BN, nc)
+
+    # Per-block near-to-far chunk visit order, consumed both by the
+    # streaming index maps (which chunk block to DMA at step (i, j)) and
+    # by the kernel (slab-bounds / table offsets of that chunk).
+    order = _block_chunk_order(o4t, chunk_bounds).reshape(-1)
+
+    def cmap(i, j, cb_ref, ord_ref):
+        return (0, ord_ref[i * nc + j])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
-            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
             pl.BlockSpec((TAB_R, e), lambda i, j, *_: (0, 0)),  # resident
         ],
         out_specs=[
@@ -389,7 +436,7 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_bounds.T.reshape(-1), o4t, d4t, mu, mv, mw, tab)
+    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, mu, mv, mw, tab)
     return out
 
 
@@ -404,19 +451,26 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
 SCC = 16  # chunks per superchunk (SCC*BT = 4096 triangles)
 
 
-def _kernel_rows_sc(sc_ref, chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref,
-                    mw_ref, tab_ref, out_ref, *, scc):
+def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, mu_ref,
+                    mv_ref, mw_ref, tab_ref, out_ref, *, scc):
     # The inner chunk loop is STATICALLY UNROLLED: in-kernel
     # fori_loop/cond kernels fault or hang inside large frame graphs on
     # this toolchain (observed twice: the round-1 fori+cond sweep, and a
     # fori+pl.when variant of this kernel crashing the TPU worker), while
     # straight-line bodies under pl.when are rock solid.
+    # `ord_ref`: per-block near-to-far SUPERCHUNK visit order (the same
+    # front-to-back indirection as _kernel_rows — near superchunks fill
+    # `cur` first, so far ones fail `tmin < cur` for the whole block).
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:, :] = jnp.zeros((OUT_R, out_ref.shape[1]), jnp.float32)
         out_ref[40, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
+
+    nsc = pl.num_programs(1)
+    scid = ord_ref[i * nsc + j]
 
     o4 = o4_ref[...]
     d4 = d4_ref[...]
@@ -425,14 +479,14 @@ def _kernel_rows_sc(sc_ref, chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref,
     rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
 
     cur = out_ref[40, :]
-    s_tmin, s_tmax = _slab(sc_ref, j * 8, ox, oy, oz, rdx, rdy, rdz)
+    s_tmin, s_tmax = _slab(sc_ref, scid * 8, ox, oy, oz, rdx, rdy, rdz)
     sc_may = (s_tmax >= s_tmin) & (s_tmax > 0.0) & (s_tmin < cur)
 
     @pl.when(jnp.any(sc_may))
     def _():
         for c in range(scc):  # static unroll
             cur_c = out_ref[40, :]
-            tmin, tmax = _slab(chunk_ref, (j * scc + c) * 8,
+            tmin, tmax = _slab(chunk_ref, (scid * scc + c) * 8,
                                ox, oy, oz, rdx, rdy, rdz)
             may = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur_c)
 
@@ -443,7 +497,7 @@ def _kernel_rows_sc(sc_ref, chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref,
                     jnp.where(may, float(BT), 0.0)
                 _sweep_update(out_ref, o4, d4, mu_ref[:, sl], mv_ref[:, sl],
                               mw_ref[:, sl], tab_ref[:, sl],
-                              (j * scc + c) * BT)
+                              (scid * scc + c) * BT)
 
 
 @functools.partial(jax.jit, static_argnames=("scc", "interpret"))
@@ -455,16 +509,23 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
     grid = (n // BN, nsc)
     bts = BT * scc
 
+    # Per-block near-to-far SUPERCHUNK visit order (sc_flat rows are the
+    # same 8-float [min3|max3|pad2] layout as chunk bounds).
+    order = _block_chunk_order(o4t, sc_flat.reshape(nsc, 8).T).reshape(-1)
+
+    def scmap(i, j, sc_ref, cb_ref, ord_ref):
+        return (0, ord_ref[i * nsc + j])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # superchunk + chunk bounds → SMEM
+        num_scalar_prefetch=3,  # superchunk + chunk bounds + order → SMEM
         grid=grid,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
-            pl.BlockSpec((4, bts), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((4, bts), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((4, bts), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((TAB_R, bts), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, bts), scmap),
+            pl.BlockSpec((4, bts), scmap),
+            pl.BlockSpec((4, bts), scmap),
+            pl.BlockSpec((TAB_R, bts), scmap),
         ],
         out_specs=[
             pl.BlockSpec((OUT_R, BN), lambda i, j, *_: (0, i)),
@@ -476,7 +537,7 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
         out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32,
                                         vma=out_vma(o4t, d4t, mu, tab))],
         interpret=interpret,
-    )(sc_flat, chunk_flat, o4t, d4t, mu, mv, mw, tab)
+    )(sc_flat, chunk_flat, order, o4t, d4t, mu, mv, mw, tab)
     return out
 
 
@@ -724,8 +785,8 @@ def trace_pallas_classic(scene: Scene, ray: Ray, active=None,
                    front=front, steps=steps, eidx=idx)
 
 
-def _occlusion_kernel(chunk_ref, o4_ref, d4_ref, tmax_ref, mu_ref, mv_ref,
-                      mw_ref, occ_ref):
+def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
+                      mu_ref, mv_ref, mw_ref, occ_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -738,12 +799,18 @@ def _occlusion_kernel(chunk_ref, o4_ref, d4_ref, tmax_ref, mu_ref, mv_ref,
     t_max = tmax_ref[i, :]
     occ = occ_ref[i, :]
 
+    # Near-first visit order: occluders close to the shadow-ray origins
+    # are found first, so whole blocks resolve (`occ == 0` fails) early
+    # and the remaining chunks are skipped.
+    nc = pl.num_programs(1)
+    cid = ord_ref[i * nc + j]
+
     ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
     rdx = 1.0 / jnp.where(jnp.abs(dx) < 1e-30, 1e-30, dx)
     rdy = 1.0 / jnp.where(jnp.abs(dy) < 1e-30, 1e-30, dy)
     rdz = 1.0 / jnp.where(jnp.abs(dz) < 1e-30, 1e-30, dz)
-    base = j * 8
+    base = cid * 8
     tx1 = (chunk_ref[base + 0] - ox) * rdx
     tx2 = (chunk_ref[base + 3] - ox) * rdx
     ty1 = (chunk_ref[base + 1] - oy) * rdy
@@ -786,18 +853,24 @@ def _occlusion_kernel(chunk_ref, o4_ref, d4_ref, tmax_ref, mu_ref, mv_ref,
 def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
     n = o4t.shape[1]
     e = mu.shape[1]
-    grid = (n // BN, e // BT)
+    nc = e // BT
+    grid = (n // BN, nc)
     gr = grid[0]
+    order = _block_chunk_order(o4t, chunk_bounds).reshape(-1)
+
+    def cmap(i, j, cb_ref, ord_ref):
+        return (0, ord_ref[i * nc + j])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((4, BT), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
         ],
         out_specs=[pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))],
     )
@@ -807,7 +880,8 @@ def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32,
                                         vma=out_vma(o4t, d4t, mu))],
         interpret=interpret,
-    )(chunk_bounds.T.reshape(-1), o4t, d4t, t_max.reshape(gr, BN), mu, mv, mw)
+    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, t_max.reshape(gr, BN),
+      mu, mv, mw)
     return occ.reshape(-1)
 
 

@@ -186,12 +186,13 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
 
     def kernel(*refs):
         if nee:
-            (chunk_ref, meta_ref, fs_ref, is_ref, mu_ref, mv_ref, mw_ref,
-             tab_ref, lt_ref, ofs_ref, ois_ref,
+            (chunk_ref, meta_ref, ord_ref, fs_ref, is_ref, mu_ref, mv_ref,
+             mw_ref, tab_ref, lt_ref, ofs_ref, ois_ref,
              acc_ref, o4s, d4s, sho4, shd4, shm) = refs
         else:
-            (chunk_ref, meta_ref, fs_ref, is_ref, mu_ref, mv_ref, mw_ref,
-             tab_ref, ofs_ref, ois_ref, acc_ref, o4s, d4s) = refs
+            (chunk_ref, meta_ref, ord_ref, fs_ref, is_ref, mu_ref, mv_ref,
+             mw_ref, tab_ref, ofs_ref, ois_ref, acc_ref, o4s, d4s) = refs
+        i = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -212,15 +213,17 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
             acc_ref[40, :] = jnp.full((acc_ref.shape[1],), _MISS,
                                       jnp.float32)
 
-        # ---- Phase A: closest-hit sweep of chunk j over the path rays ----
+        # ---- Phase A: closest-hit sweep (front-to-back: this block's
+        # j-th NEAREST chunk, same indirection as _kernel_rows) ----
         @pl.when(j < nc)
         def _():
+            cid = ord_ref[i * nc + j]
             o4 = o4s[...]
             d4 = d4s[...]
             ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
             dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
             cur = acc_ref[40, :]
-            tmin, tmax = _slab(chunk_ref, j * 8, ox, oy, oz,
+            tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
                                _rcp(dx), _rcp(dy), _rcp(dz))
             may = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
 
@@ -229,7 +232,7 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                 acc_ref[45, :] = acc_ref[45, :] + \
                     jnp.where(may, float(BT), 0.0)
                 _sweep_update(acc_ref, o4, d4, mu_ref[...], mv_ref[...],
-                              mw_ref[...], tab_ref[...], j * BT)
+                              mw_ref[...], tab_ref[...], cid * BT)
 
         if nee:
             def _epilogue_a(fs, act):
@@ -288,16 +291,19 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                 def _():
                     _epilogue_a(fs, act)
 
-            # ---- Phase B: any-hit sweep of chunk (j - nc), shadow rays ----
+            # ---- Phase B: any-hit sweep of the block's (j - nc)-th
+            # nearest chunk over the shadow rays (near-first order finds
+            # occluders sooner → more whole-block early exits) ----
             @pl.when(j >= nc)
             def _():
+                cid = ord_ref[i * nc + (j - nc)]
                 o4 = sho4[...]
                 d4 = shd4[...]
                 ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
                 dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
                 t_max = shm[0, :]
                 occ = shm[1, :]
-                tmin, tmax = _slab(chunk_ref, (j - nc) * 8, ox, oy, oz,
+                tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
                                    _rcp(dx), _rcp(dy), _rcp(dz))
                 may = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & \
                     (occ < 0.5)
@@ -462,18 +468,22 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
 
 @functools.partial(jax.jit, static_argnames=("config", "nc", "n_lights",
                                               "interpret"))
-def _mega_step(chunk_flat, meta, fstate, istate, mu, mv, mw, tab, lt,
+def _mega_step(chunk_flat, meta, order, fstate, istate, mu, mv, mw, tab, lt,
                config: RenderConfig, nc: int, n_lights: int,
                interpret=False):
-    """One bounce over the whole wavefront: (24, N)+(8, N) state in/out."""
+    """One bounce over the whole wavefront: (24, N)+(8, N) state in/out.
+    `order` = flattened (n_blocks, nc) per-block near-to-far chunk visit
+    order (see intersect_pallas._block_chunk_order)."""
     n = fstate.shape[1]
     kernel, nsteps, nee = _make_mega_kernel(config, nc, n_lights)
     grid = (n // BN, nsteps)
 
-    def cmap(i, j, *_):
-        # Chunk-stream block index: phase A uses chunk j, phase B (shadow
-        # any-hit) revisits chunk j - nc.
-        return (0, jnp.where(j < nc, j, j - nc)) if nee else (0, j)
+    def cmap(i, j, cb_ref, meta_ref, ord_ref):
+        # Chunk-stream block index: phase A visits the block's j-th
+        # nearest chunk; phase B (shadow any-hit) revisits the same
+        # sequence at j - nc.
+        jj = jnp.where(j < nc, j, j - nc) if nee else j
+        return (0, ord_ref[i * nc + jj])
 
     in_specs = [
         pl.BlockSpec((FS_R, BN), lambda i, j, *_: (0, i)),
@@ -496,7 +506,7 @@ def _mega_step(chunk_flat, meta, fstate, istate, mu, mv, mw, tab, lt,
                     pltpu.VMEM((8, BN), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk bounds + [bounce] → SMEM
+        num_scalar_prefetch=3,  # chunk bounds + [bounce] + visit order
         grid=grid,
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((FS_R, BN), lambda i, j, *_: (0, i)),
@@ -518,7 +528,7 @@ def _mega_step(chunk_flat, meta, fstate, istate, mu, mv, mw, tab, lt,
             transcendentals=8 * n,
         ),
         interpret=interpret,
-    )(chunk_flat, meta, *operands)
+    )(chunk_flat, meta, order, *operands)
     return fs2, is2
 
 
@@ -616,8 +626,19 @@ def path_trace_mega(scene: Scene, ray, seed, config: RenderConfig,
             istate = istate.T[perm].T
             src = src[perm]
         meta = jnp.array([b], jnp.int32)
+        # Per-block near-to-far chunk visit order from the CURRENT bounce
+        # origins (dead rays parked out of the centroid); phase B reuses
+        # it for the shadow rays (origins = hit points, same region).
+        from gdpathtracing_tpu.ops.intersect_pallas import \
+            _block_chunk_order
+        act = fstate[12, :] > 0.0
+        o4m = jnp.stack([jnp.where(act, fstate[0, :], _PARK),
+                         jnp.where(act, fstate[1, :], _PARK),
+                         jnp.where(act, fstate[2, :], _PARK)], axis=0)
+        order = _block_chunk_order(
+            o4m, scene.isect_chunk_bounds).reshape(-1)
         fstate, istate = _mega_step(
-            prep.chunk_flat, meta, fstate, istate,
+            prep.chunk_flat, meta, order, fstate, istate,
             prep.mu, prep.mv, prep.mw, prep.tab, lt,
             config, nc, scene.n_lights if nee else 0, interpret)
 
