@@ -26,9 +26,9 @@ def main() -> None:
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--traversal", default=None,
-                    help="pallas|unit|brute|bvh (default pallas — the fused "
-                         "chunk-culled kernel; measured 3.7 Mrays/s at "
-                         "1080p vs 0.35 for the XLA megakernel paths)")
+                    help="pallas|mega|unit|brute|bvh (default pallas — the "
+                         "wavefront rows kernel, 6.25 Mrays/s at 1080p; mega "
+                         "measured 4.61, the XLA paths ~0.34)")
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--nee", action="store_true",
                     help="next-event estimation + MIS (shadow rays counted "
