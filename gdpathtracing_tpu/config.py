@@ -84,19 +84,23 @@ class RenderConfig:
     #                           kernels on large scenes). None = auto:
     #                           on for PALLAS + >16-chunk scenes.
     compact_rays: bool | None = None  # stream-compact the wavefront
-    #                           between bounces (stable partition of the
-    #                           state by `active`, cumsum-based — no
-    #                           argsort). Dead rays pack into tail blocks
-    #                           whose slab tests all fail, so terminated
-    #                           paths cost zero sweeps (the TPU analog of
-    #                           SIMT early thread exit, main.glsl:390-396);
-    #                           survivors keep their pixel-coherent order.
-    #                           Per-ray results (radiance, depth, steps,
+    #                           between bounces: stable partition of
+    #                           128-ray GROUPS by any-live (cumsum, no
+    #                           argsort; every permute is a contiguous
+    #                           row gather — per-ray reorders measured
+    #                           ~830 ms/bounce on TPU). Dead groups pack
+    #                           into tail blocks whose slab tests all
+    #                           fail, so terminated paths cost zero
+    #                           sweeps (the TPU analog of SIMT early
+    #                           thread exit, main.glsl:390-396);
+    #                           survivors keep their pixel-coherent
+    #                           order. Per-ray results (radiance, depth,
     #                           segments) are permutation-invariant, so
     #                           it is result-transparent. Applies to MEGA
     #                           (None = auto: on for wavefronts >= 4
     #                           blocks) and to wavefront-PALLAS (None =
-    #                           off; sort_rays subsumes it when on).
+    #                           auto: on for flat-scene wavefronts
+    #                           >= 65536 rays; sort_rays subsumes it).
     differentiable: bool = False  # differentiable render path: PALLAS
     #                           traversal becomes a primal hit-finder with a
     #                           differentiable recompute epilogue

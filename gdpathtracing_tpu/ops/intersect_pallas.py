@@ -318,7 +318,7 @@ def _sweep_update(out_ref, o4, d4, mu, mv, mw, tab_chunk, global_base):
             better, (global_base + k).astype(jnp.float32), out_ref[44, :])
 
 
-def _block_chunk_order(o4t, chunk_bounds):
+def _block_chunk_order(o4t, chunk_bounds, extra_o4t=None):
     """(n_blocks, nc) i32: per-ray-block NEAR-TO-FAR chunk visit order.
 
     Front-to-back sweep order is what makes the `tmin < cur` cull fire:
@@ -330,11 +330,19 @@ def _block_chunk_order(o4t, chunk_bounds):
     drops. Key = squared distance from the block's live-ray origin
     centroid to the chunk AABB. Parked rays (origin 1e9) are excluded
     from the centroid; all-dead blocks order arbitrarily (every chunk is
-    slab-culled for them anyway)."""
+    slab-culled for them anyway).
+
+    `extra_o4t` (fused NEE kernel): a second ray set sharing the sweep —
+    its live origins join the centroid so one order serves both phases
+    (occlusion is OR-reduced and thus order-independent anyway)."""
     nc = chunk_bounds.shape[1]
     ox = o4t[0].reshape(-1, BN)
     oy = o4t[1].reshape(-1, BN)
     oz = o4t[2].reshape(-1, BN)
+    if extra_o4t is not None:
+        ox = jnp.concatenate([ox, extra_o4t[0].reshape(-1, BN)], axis=1)
+        oy = jnp.concatenate([oy, extra_o4t[1].reshape(-1, BN)], axis=1)
+        oz = jnp.concatenate([oz, extra_o4t[2].reshape(-1, BN)], axis=1)
     live = (jnp.abs(ox) < 1e8).astype(jnp.float32)
     wsum = jnp.maximum(live.sum(axis=1), 1.0)
     cx = (ox * live).sum(axis=1) / wsum
@@ -438,6 +446,206 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
         interpret=interpret,
     )(chunk_bounds.T.reshape(-1), order, o4t, d4t, mu, mv, mw, tab)
     return out
+
+
+def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
+                     stmax_ref, mu_ref, mv_ref, mw_ref, tab_ref,
+                     out_ref, occ_ref):
+    """Fused per-bounce sweep: phase A closest-hit for the bounce rays +
+    phase B any-hit occlusion for the PREVIOUS bounce's shadow rays, in the
+    same (ray-block x chunk) grid step — both phases share the step's
+    chunk DMA (mu/mv/mw block) and the grid overhead that a separate
+    occlusion dispatch would pay again. The TPU-native form of the
+    reference's single-kernel direct+indirect lighting (main.glsl:372-436):
+    the integrator defers bounce i's shadow resolution into bounce i+1's
+    dispatch, preserving the radiance accumulation order (transport is
+    unchanged; results match the unfused path to ≤1 ulp — only XLA's
+    FMA-contraction choices differ between the two graphs)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((OUT_R, out_ref.shape[1]), jnp.float32)
+        out_ref[40, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
+        occ_ref[0, :] = jnp.zeros((occ_ref.shape[1],), jnp.int32)
+
+    bt = mu_ref.shape[1]
+    nc = tab_ref.shape[1] // bt
+    cid = order_ref[i * nc + j]
+
+    # Phase A — identical to _kernel_rows.
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    cur = out_ref[40, :]
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
+                       _rcp(dx), _rcp(dy), _rcp(dz))
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+
+    @pl.when(jnp.any(may_hit))
+    def _():
+        out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
+        _sweep_update(out_ref, o4, d4, mu_ref[...], mv_ref[...], mw_ref[...],
+                      tab_ref[:, pl.ds(cid * bt, bt)], cid * bt)
+
+    # Phase B — identical to _occlusion_kernel's update; skips once the
+    # whole shadow block is resolved (occ != 0) or culled.
+    so4 = so4_ref[...]
+    sd4 = sd4_ref[...]
+    s_tmax = stmax_ref[0, :]
+    occ = occ_ref[0, :]
+    sox, soy, soz = so4[0, :], so4[1, :], so4[2, :]
+    sdx, sdy, sdz = sd4[0, :], sd4[1, :], sd4[2, :]
+    smin, smax = _slab(chunk_ref, cid * 8, sox, soy, soz,
+                       _rcp(sdx), _rcp(sdy), _rcp(sdz))
+    s_may = (smax >= smin) & (smax > 0.0) & (smin < s_tmax) & (occ == 0)
+
+    @pl.when(jnp.any(s_may))
+    def _():
+        mu = mu_ref[...]
+        mv = mv_ref[...]
+        mw = mw_ref[...]
+        u_o, v_o, w_o = _mm(so4, mu), _mm(so4, mv), _mm(so4, mw)
+        u_d, v_d, w_d = _mm(sd4, mu), _mm(sd4, mv), _mm(sd4, mw)
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        blocked = wd_ok & (t > 0.0) & (t < s_tmax[:, None]) & (u >= 0.0) & \
+            (v >= 0.0) & (u + v <= 1.0)
+        occ_ref[0, :] = occ | jnp.any(blocked, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
+                          mu, mv, mw, tab, interpret=False):
+    """Fused dispatch: (OUT_R, N) packed closest-hit rows for (o4t, d4t)
+    AND (N,) i32 occlusion flags for the shadow set (so4t, sd4t, stmax).
+    Flat (≤16-chunk) scenes only — superchunk scenes keep the separate
+    occlusion dispatch."""
+    n = o4t.shape[1]
+    e = mu.shape[1]
+    nc = e // BT
+    grid = (n // BN, nc)
+
+    order = _block_chunk_order(o4t, chunk_bounds,
+                               extra_o4t=so4t).reshape(-1)
+
+    def cmap(i, j, cb_ref, ord_ref):
+        return (0, ord_ref[i * nc + j])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # o4
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # d4
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # shadow o4
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # shadow d4
+            pl.BlockSpec((1, BN), lambda i, j, *_: (0, i)),   # shadow tmax
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((TAB_R, e), lambda i, j, *_: (0, 0)),  # resident
+        ],
+        out_specs=[
+            pl.BlockSpec((OUT_R, BN), lambda i, j, *_: (0, i)),
+            # (1, n) with a (1, BN) block at column i: the sublane dim
+            # equals the whole array's (TPU tiling rule), and the index
+            # map is j-invariant so the block stays VMEM-resident across
+            # the chunk sweep.
+            pl.BlockSpec((1, BN), lambda i, j, *_: (0, i)),
+        ],
+    )
+    vma = out_vma(o4t, d4t, so4t, sd4t, mu, tab)
+    out, occ = pl.pallas_call(
+        _kernel_rows_nee,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((1, n), jnp.int32, vma=vma)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * 6 * 4 * n * e + 12 * n * e) + 2 * TAB_R * n * e,
+            bytes_accessed=(4 * 4 * n + 3 * 4 * e + TAB_R * e
+                            + (OUT_R + 1) * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, so4t, sd4t,
+      stmax.reshape(1, n), mu, mv, mw, tab)
+    return out, occ.reshape(-1)
+
+
+def trace_occlude_pallas(scene: Scene, ray: Ray, active,
+                         sh_ray: Ray, sh_tmax, sh_active,
+                         interpret: bool = False,
+                         prep: "_TracePrep | None" = None):
+    """Closest-hit for `ray` + any-hit occlusion for `sh_ray` in ONE fused
+    kernel dispatch (the integrator's deferred-shadow NEE path). Returns
+    (HitInfo-with-rows, occluded: (N,) bool). Both results are bit-equal to
+    the separate trace_pallas / occluded_pallas calls (occlusion is an
+    order-independent OR; the closest-hit phase is the rows kernel body
+    unchanged) — tests/test_nee.py::test_trace_occlude_pallas_unit."""
+    interpret = interpret or _FORCE_INTERPRET
+    n = ray.o.x.shape[0]
+    n_pad = -(-n // BN) * BN
+    far, s3 = 1e9, 0.5773503
+
+    ox, oy, oz = ray.o.x, ray.o.y, ray.o.z
+    dx, dy, dz = ray.d.x, ray.d.y, ray.d.z
+    if active is not None:
+        ox = jnp.where(active, ox, far)
+        oy = jnp.where(active, oy, far)
+        oz = jnp.where(active, oz, far)
+        dx = jnp.where(active, dx, s3)
+        dy = jnp.where(active, dy, s3)
+        dz = jnp.where(active, dz, s3)
+
+    sox = jnp.where(sh_active, sh_ray.o.x, far)
+    soy = jnp.where(sh_active, sh_ray.o.y, far)
+    soz = jnp.where(sh_active, sh_ray.o.z, far)
+    sdx = jnp.where(sh_active, sh_ray.d.x, s3)
+    sdy = jnp.where(sh_active, sh_ray.d.y, s3)
+    sdz = jnp.where(sh_active, sh_ray.d.z, s3)
+    stm = jnp.where(sh_active, sh_tmax, 0.0)
+
+    def pad(x, value=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=value)
+
+    o4t = jnp.stack([pad(ox, 1e9), pad(oy, 1e9), pad(oz, 1e9),
+                     pad(ox * 0 + 1.0)], axis=0)
+    d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
+                     pad(dx * 0)], axis=0)
+    so4t = jnp.stack([pad(sox, 1e9), pad(soy, 1e9), pad(soz, 1e9),
+                      pad(sox * 0 + 1.0)], axis=0)
+    sd4t = jnp.stack([pad(sdx, 1.0), pad(sdy, 1.0), pad(sdz, 1.0),
+                      pad(sdx * 0)], axis=0)
+
+    if prep is None:
+        prep = prepare_trace_inputs(scene)
+    assert not prep.superchunks, \
+        "trace_occlude_pallas is flat-scene only (≤16 chunks)"
+    rows, occ = _closest_hit_rows_nee(
+        o4t, d4t, so4t, sd4t, pad(stm), scene.isect_chunk_bounds,
+        prep.mu, prep.mv, prep.mw, prep.tab, interpret=interpret)
+    rows = rows[:, :n]
+    occ = occ[:n]
+
+    t = rows[40]
+    u = jnp.clip(rows[41], 0.0, 1.0)
+    v = jnp.clip(rows[42], 0.0, 1.0)
+    front = rows[43] < 0.0
+    eidx = rows[44].astype(jnp.int32)
+    tri = rows[15].astype(jnp.int32)
+    inst = rows[16].astype(jnp.int32)
+    if active is not None:
+        t = jnp.where(active, t, MISS_T)
+    steps = rows[45].astype(jnp.int32)
+    hit = HitInfo(t=t, tri=tri, inst=inst, u=u, v=v,
+                  front=front, steps=steps, eidx=eidx, rows=rows)
+    return hit, occ.astype(bool) & sh_active
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,11 @@ from gdpathtracing_tpu.scene.scene import Scene
 
 TraceFn = Callable[[Scene, Ray, jnp.ndarray], HitInfo]
 
+# Test hook: force the separate-dispatch NEE path (trace + occluded_pallas
+# per bounce) so tests can assert the fused deferred-shadow path is
+# bit-identical to it.
+_FORCE_UNFUSED_NEE = False
+
 
 def get_trace_fn(config: RenderConfig, scene: Scene | None = None
                  ) -> TraceFn:
@@ -117,6 +122,26 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         from gdpathtracing_tpu.render import lights as lights_mod
         light_table = lights_mod.build_light_table(scene)
 
+    # Deferred-shadow NEE fusion (VERDICT r2 item 4): bounce i's shadow ray
+    # only gates an ADDITIVE radiance term, so its occlusion query is
+    # deferred into bounce i+1's closest-hit dispatch — one fused Pallas
+    # kernel per bounce (phase A closest-hit, phase B any-hit) instead of
+    # two, sharing chunk DMA and grid overhead (the wavefront port of
+    # MEGA's shared-dispatch shadow phase). The radiance accumulation
+    # order (emission_i, direct_i, emission_i+1, ...) is preserved exactly,
+    # so transport goldens are bit-unchanged; the loop's last pending
+    # shadow is flushed by one trailing occlusion dispatch.
+    fuse_nee = (use_nee and config.traversal == Traversal.PALLAS
+                and not config.differentiable
+                and config.soft_shadows <= 0.0
+                and not _FORCE_UNFUSED_NEE)
+    if fuse_nee:
+        from gdpathtracing_tpu.ops.intersect_pallas import (
+            occluded_pallas, prepare_trace_inputs, trace_occlude_pallas)
+        nee_prep = prepare_trace_inputs(scene)
+        if nee_prep.superchunks:  # flat-grid kernel only (≤16 chunks)
+            fuse_nee = False
+
     # Large scenes (superchunk traversal): stable-sort the wavefront by
     # direction octant each bounce. The chunk/superchunk culling is per
     # 256-ray BLOCK — after a diffuse bounce a block of random directions
@@ -133,20 +158,36 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     if sort_rays is None:
         sort_rays = (config.traversal == Traversal.PALLAS
                      and scene.isect_mu.shape[1] > 16 * 256)
-    # Survivor compaction WITHOUT the Morton sort (VERDICT r2 item 3):
-    # stable cumsum partition by `active` — survivors keep their original
-    # (pixel-coherent) relative order, dead rays pack into tail blocks
-    # that skip every chunk sweep. Much cheaper than argsort (one cumsum
-    # + scatter) and preserves origin coherence the Morton re-sort
-    # destroys; the grid-scene decision table in docs/ARCHITECTURE.md
-    # picks between the two. Sort subsumes compaction (dead rays are
-    # already keyed last), so sort wins when both are on.
-    compact_rays = (bool(config.compact_rays)
+    # Survivor compaction WITHOUT the Morton sort (VERDICT r2 item 3,
+    # reworked round 3 at GROUP granularity — see the body below): stable
+    # partition of 128-ray groups by any-live — survivors keep their
+    # pixel-coherent order, dead groups pack into tail blocks that
+    # slab-cull every chunk, and each permute is a contiguous row gather
+    # instead of the ruinously slow per-element one. Sort subsumes
+    # compaction (dead rays are already keyed last), so sort wins when
+    # both are on; docs/STATUS.md has the decision table.
+    compact_rays = config.compact_rays
+    if compact_rays is None:
+        # Auto-on for flat-scene PALLAS wavefronts big enough that parked
+        # tail blocks pay for the (cheap, group-row-gather) permutes:
+        # bounce 2+ of the demo frame is ~14% live, image-clustered.
+        compact_rays = (config.traversal == Traversal.PALLAS
+                        and not sort_rays and n >= 65536)
+    compact_rays = (bool(compact_rays)
                     and not sort_rays
                     and config.traversal == Traversal.PALLAS)
+    _cg = next((gsz for gsz in (128, 32, 8) if n % gsz == 0), None)
+    if _cg is None:
+        compact_rays = False
     reorder = sort_rays or compact_rays
 
     def body(i, carry):
+        if fuse_nee:
+            # Pending shadow query from the previous bounce (all-parked on
+            # bounce 0): origin, direction, tmax, active mask, and the
+            # visibility-less direct contribution awaiting its factor.
+            (p_sh_o, p_sh_d, p_sh_tmax, p_sh_active, p_pend) = carry[-5:]
+            carry = carry[:-5]
         if reorder:
             (ray_o, ray_d, throughput, radiance, active, seed, depth,
              steps, segments, prev_pdf, normal, src) = carry
@@ -180,34 +221,41 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                 key = cell * 8 + octant
                 key = jnp.where(active, key, 1 << 14)  # dead rays last
                 order = jnp.argsort(key, stable=True)
+                def g(x):
+                    return x[order]
             else:
-                # Compaction: stable COUNTING sort by (live octant | dead)
-                # — 9 buckets, one cumsum each, no bitonic argsort (which
-                # round-2 measured as a 6x loss). Dead rays pack last into
-                # all-parked blocks; live rays group by direction octant,
-                # so a block's rays share sign(d) and the per-block slab
-                # cull can reject chunks behind the whole block — the
-                # coherence the first diffuse bounce destroys. Stable ⇒
-                # pixel (origin) order survives within each bucket.
-                octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
-                          + (ray_d.y > 0.0).astype(jnp.int32) * 2
-                          + (ray_d.z > 0.0).astype(jnp.int32))
-                key = jnp.where(active, octant, 8)
-                dest = jnp.zeros(n, jnp.int32)
-                base = jnp.int32(0)
-                for bk in range(9):
-                    m = key == bk
-                    r = jnp.cumsum(m.astype(jnp.int32))
-                    dest = jnp.where(m, base + r - 1, dest)
-                    base = base + r[-1]
-                order = jnp.zeros(n, jnp.int32).at[dest].set(
-                    jnp.arange(n, dtype=jnp.int32))
+                # GROUP-granular compaction (round-3 rework): a PER-RAY
+                # reorder of the ~15-array wavefront costs ~830 ms/bounce
+                # on this TPU (scattered element gathers — the round-2
+                # counting sort measured a 8x frame loss on the demo).
+                # Instead, partition the wavefront in GROUPS of _cg=128
+                # consecutive rays: group live = any(live in group); live
+                # groups pack first (stable), dead groups park in tail
+                # blocks that slab-cull every chunk. Survivors are
+                # image-clustered (sky/light pixels die in contiguous
+                # raster runs), so group granularity recovers most of the
+                # per-ray packing while each permute is a contiguous
+                # 512-byte ROW gather — the fast TPU gather shape.
+                live = active
+                if fuse_nee:
+                    # A dead ray whose shadow query is still pending keeps
+                    # its group live: the fused kernel's phase B must
+                    # sweep it this bounce anyway.
+                    live = live | p_sh_active
+                glive = jnp.any(live.reshape(-1, _cg), axis=1)
+                ng = glive.shape[0]
+                r_live = jnp.cumsum(glive.astype(jnp.int32))
+                r_dead = jnp.cumsum((~glive).astype(jnp.int32))
+                gdest = jnp.where(glive, r_live - 1,
+                                  r_live[-1] + r_dead - 1)
+                gorder = jnp.zeros(ng, jnp.int32).at[gdest].set(
+                    jnp.arange(ng, dtype=jnp.int32))
 
-            def g(x):
-                return x[order]
+                def g(x):
+                    return x.reshape(-1, _cg)[gorder].reshape(-1)
 
             def gv(v):
-                return Vec3(v.x[order], v.y[order], v.z[order])
+                return Vec3(g(v.x), g(v.y), g(v.z))
 
             ray_o, ray_d = gv(ray_o), gv(ray_d)
             throughput, radiance = gv(throughput), gv(radiance)
@@ -215,13 +263,28 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             active, depth, steps = g(active), g(depth), g(steps)
             segments, prev_pdf, src = g(segments), g(prev_pdf), g(src)
             seed = (g(seed[0]), g(seed[1]))
+            if fuse_nee:
+                p_sh_o, p_sh_d = gv(p_sh_o), gv(p_sh_d)
+                p_sh_tmax, p_sh_active = g(p_sh_tmax), g(p_sh_active)
+                p_pend = gv(p_pend)
             carry_tail = (src,)
         else:
             (ray_o, ray_d, throughput, radiance, active, seed, depth,
              steps, segments, prev_pdf, normal) = carry
             carry_tail = ()
         r = Ray(ray_o, ray_d)
-        hit = trace_fn(scene, r, active)
+        if fuse_nee:
+            hit, p_occ = trace_occlude_pallas(
+                scene, r, active, Ray(p_sh_o, p_sh_d), p_sh_tmax,
+                p_sh_active, prep=nee_prep)
+            vis_prev = (~p_occ).astype(jnp.float32)
+            # direct_i lands here, between emission_i (previous iteration)
+            # and emission_{i+1} (below) — the same order the unfused path
+            # accumulates, so radiance is bit-identical.
+            radiance = vwhere(p_sh_active, radiance + p_pend * vis_prev,
+                              radiance)
+        else:
+            hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
         steps = steps + jnp.where(active, hit.steps, 0)
         segments = segments + active.astype(jnp.int32)
@@ -256,7 +319,11 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             shadow_o = s.position + s.normal * config.ray_eps
             shadow_active = is_hit & (cos_i > 0.0) & \
                 jnp.isfinite(ls.pdf_solid)
-            if config.soft_shadows > 0.0 and config.traversal in (
+            if fuse_nee:
+                # Visibility resolves in the NEXT bounce's fused dispatch
+                # (or the post-loop flush); carry the query + contribution.
+                visibility = None
+            elif config.soft_shadows > 0.0 and config.traversal in (
                     Traversal.BRUTE, Traversal.UNIT):
                 # Differentiable soft visibility (silhouette gradients
                 # w.r.t. blocker geometry) — intersect.occlusion_soft.
@@ -299,11 +366,19 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             w_l = (pl_safe * pl_safe) / jnp.maximum(
                 pl_safe * pl_safe + pb_l * pb_l, 1e-20)
             scale_l = jnp.where(shadow_active & pl_ok,
-                                cos_i * w_l / pl_safe, 0.0) * visibility
+                                cos_i * w_l / pl_safe, 0.0)
+            if visibility is not None:
+                scale_l = scale_l * visibility
             direct = throughput * f_l * ls.emission * scale_l
             if scene.has_transmission:
                 direct = direct * (1.0 - s.transmission)
-            radiance = vwhere(active, radiance + direct, radiance)
+            if fuse_nee:
+                p_sh_o, p_sh_d = shadow_o, ls.wi
+                p_sh_tmax = ls.dist * (1.0 - 1e-3)
+                p_sh_active = shadow_active
+                p_pend = direct
+            else:
+                radiance = vwhere(active, radiance + direct, radiance)
 
         # First-hit distance → depth AOV (main.glsl:382-383) + normal AOV
         # (denoiser guide).
@@ -379,8 +454,10 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         throughput = vwhere(survive, new_throughput, throughput)
         active = survive
         prev_pdf = jnp.where(survive, prev_pdf_val, -1.0)
+        nee_tail = ((p_sh_o, p_sh_d, p_sh_tmax, p_sh_active, p_pend)
+                    if fuse_nee else ())
         return (ray_o, ray_d, throughput, radiance, active, seed, depth,
-                steps, segments, prev_pdf, normal) + carry_tail
+                steps, segments, prev_pdf, normal) + carry_tail + nee_tail
 
     # Carries derive from `ray` arithmetically so they inherit its
     # varying-axes type under shard_map (cf. HitInfo.none_like).
@@ -393,6 +470,9 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             zero_n.astype(jnp.int32), zero_n - 1.0, zero3)
     if reorder:
         init = init + (zero_n.astype(jnp.int32) + jnp.arange(n),)
+    if fuse_nee:
+        # Bounce-0 pending shadow set: all parked (active=False, tmax=0).
+        init = init + (zero3, zero3, zero_n, zero_n.astype(bool), zero3)
     if config.differentiable:
         # Reverse-mode memory: checkpoint each bounce so the backward pass
         # recomputes the bounce's interior instead of saving every
@@ -405,6 +485,14 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         out = jax.lax.fori_loop(0, config.bounces, body, init)
     radiance, depth, steps, segments, normal = (out[3], out[6], out[7],
                                                 out[8], out[10])
+    if fuse_nee:
+        # Flush the last bounce's pending shadow query with one trailing
+        # any-hit dispatch (the fused kernel resolved bounces 0..B-2).
+        p_sh_o, p_sh_d, p_sh_tmax, p_sh_active, p_pend = out[-5:]
+        p_occ = occluded_pallas(scene, Ray(p_sh_o, p_sh_d), p_sh_tmax,
+                                p_sh_active)
+        vis = (~p_occ).astype(jnp.float32)
+        radiance = vwhere(p_sh_active, radiance + p_pend * vis, radiance)
     if reorder:
         # Scatter every per-ray output back to its source slot (the
         # composed per-bounce permutation lives in `src`).
