@@ -260,14 +260,39 @@ def _mm(a, b):  # (4,BN)ᵀ·(4,BT) → (BN, BT)
         preferred_element_type=jnp.float32)
 
 
-def _sweep_update(out_ref, o4, d4, mu, mv, mw, tab_chunk, global_base):
+def _m3_layout(mu, mv, mw):
+    """Interleave the three unit-triangle row matrices per CHUNK:
+    (4, E) x3 → (4, 3E) laid out [c0·mu | c0·mv | c0·mw | c1·mu | ...].
+    One streamed (4, 3·BT) block then feeds a whole chunk step — one DMA
+    and two wide K=4 MXU ops instead of three DMAs and six narrow ones
+    (the matmul results are element-identical; only op count changes).
+    Chunk c of any superchunk stays contiguous, so the superchunk kernel
+    streams (4, 3·SCC·BT) blocks of the same layout."""
+    e = mu.shape[1]
+    nc = e // BT
+
+    def r(x):
+        return x.reshape(4, nc, 1, BT)
+
+    return jnp.concatenate([r(mu), r(mv), r(mw)], axis=2).reshape(4, 3 * e)
+
+
+def _uvw(x4, m3):
+    """(4, BN) rays × (4, 3·BT) chunk rows → (u, v, w) each (BN, BT)."""
+    uvw = _mm(x4, m3)
+    bt = m3.shape[1] // 3
+    return uvw[:, :bt], uvw[:, bt:2 * bt], uvw[:, 2 * bt:]
+
+
+def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base):
     """Sweep one BT-triangle chunk against the ray block and merge winners
-    into the resident out block. `tab_chunk`: this chunk's (TAB_R, BT)
-    table slice; `global_base`: expanded index of the chunk's first
-    triangle (for the eidx row)."""
+    into the resident out block. `m3`: the chunk's (4, 3·BT) interleaved
+    mu|mv|mw slice; `tab_chunk`: its (TAB_R, BT) table slice;
+    `global_base`: expanded index of the chunk's first triangle (for the
+    eidx row)."""
     cur = out_ref[40, :]
-    u_o, v_o, w_o = _mm(o4, mu), _mm(o4, mv), _mm(o4, mw)
-    u_d, v_d, w_d = _mm(d4, mu), _mm(d4, mv), _mm(d4, mw)
+    u_o, v_o, w_o = _uvw(o4, m3)
+    u_d, v_d, w_d = _uvw(d4, m3)
 
     wd_ok = jnp.abs(w_d) > _WD_EPS
     inv_wd = jnp.where(wd_ok, w_d, 1.0)
@@ -360,8 +385,8 @@ def _block_chunk_order(o4t, chunk_bounds, extra_o4t=None):
     return jnp.argsort(dist2, axis=1).astype(jnp.int32)
 
 
-def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, mu_ref, mv_ref,
-                 mw_ref, tab_ref, out_ref):
+def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, m3_ref,
+                 tab_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -374,7 +399,7 @@ def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, mu_ref, mv_ref,
     d4 = d4_ref[...]
     cur = out_ref[40, :]
 
-    bt = mu_ref.shape[1]
+    bt = m3_ref.shape[1] // 3
     nc = tab_ref.shape[1] // bt
     cid = order_ref[i * nc + j]  # this block's j-th nearest chunk
 
@@ -391,12 +416,12 @@ def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, mu_ref, mv_ref,
         # culled ray's lanes do no useful work — count the chunk for the
         # rays that actually needed it).
         out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
-        _sweep_update(out_ref, o4, d4, mu_ref[...], mv_ref[...], mw_ref[...],
+        _sweep_update(out_ref, o4, d4, m3_ref[...],
                       tab_ref[:, pl.ds(cid * bt, bt)], cid * bt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
+def _closest_hit_rows(o4t, d4t, chunk_bounds, m3, tab,
                       interpret=False):
     """o4t/d4t: (4, N); tab: (40, E). Returns (OUT_R, N) packed hit rows.
     The output is written directly in (48, N) layout — block (48, BN) at
@@ -405,7 +430,7 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
     (gr, BN) blocks of `_closest_hit`): arbitrarily large wavefronts fit
     one kernel call."""
     n = o4t.shape[1]
-    e = mu.shape[1]
+    e = m3.shape[1] // 3
     nc = e // BT
     grid = (n // BN, nc)
 
@@ -423,9 +448,7 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
-            pl.BlockSpec((4, BT), cmap),
-            pl.BlockSpec((4, BT), cmap),
-            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, 3 * BT), cmap),
             pl.BlockSpec((TAB_R, e), lambda i, j, *_: (0, 0)),  # resident
         ],
         out_specs=[
@@ -436,7 +459,7 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
         _kernel_rows,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32,
-                                        vma=out_vma(o4t, d4t, mu, tab))],
+                                        vma=out_vma(o4t, d4t, m3, tab))],
         cost_estimate=pl.CostEstimate(
             flops=2 * 6 * 4 * n * e + 12 * n * e + 2 * TAB_R * n * e,
             bytes_accessed=(2 * 4 * n + 3 * 4 * e + TAB_R * e
@@ -444,13 +467,12 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, mu, mv, mw, tab,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, mu, mv, mw, tab)
+    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, m3, tab)
     return out
 
 
 def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
-                     stmax_ref, mu_ref, mv_ref, mw_ref, tab_ref,
-                     out_ref, occ_ref):
+                     stmax_ref, m3_ref, tab_ref, out_ref, occ_ref):
     """Fused per-bounce sweep: phase A closest-hit for the bounce rays +
     phase B any-hit occlusion for the PREVIOUS bounce's shadow rays, in the
     same (ray-block x chunk) grid step — both phases share the step's
@@ -470,7 +492,7 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
         out_ref[40, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
         occ_ref[0, :] = jnp.zeros((occ_ref.shape[1],), jnp.int32)
 
-    bt = mu_ref.shape[1]
+    bt = m3_ref.shape[1] // 3
     nc = tab_ref.shape[1] // bt
     cid = order_ref[i * nc + j]
 
@@ -487,7 +509,7 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
     @pl.when(jnp.any(may_hit))
     def _():
         out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
-        _sweep_update(out_ref, o4, d4, mu_ref[...], mv_ref[...], mw_ref[...],
+        _sweep_update(out_ref, o4, d4, m3_ref[...],
                       tab_ref[:, pl.ds(cid * bt, bt)], cid * bt)
 
     # Phase B — identical to _occlusion_kernel's update; skips once the
@@ -504,11 +526,9 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
 
     @pl.when(jnp.any(s_may))
     def _():
-        mu = mu_ref[...]
-        mv = mv_ref[...]
-        mw = mw_ref[...]
-        u_o, v_o, w_o = _mm(so4, mu), _mm(so4, mv), _mm(so4, mw)
-        u_d, v_d, w_d = _mm(sd4, mu), _mm(sd4, mv), _mm(sd4, mw)
+        m3 = m3_ref[...]
+        u_o, v_o, w_o = _uvw(so4, m3)
+        u_d, v_d, w_d = _uvw(sd4, m3)
         wd_ok = jnp.abs(w_d) > _WD_EPS
         inv_wd = jnp.where(wd_ok, w_d, 1.0)
         t = -w_o / inv_wd
@@ -521,13 +541,13 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
-                          mu, mv, mw, tab, interpret=False):
+                          m3, tab, interpret=False):
     """Fused dispatch: (OUT_R, N) packed closest-hit rows for (o4t, d4t)
     AND (N,) i32 occlusion flags for the shadow set (so4t, sd4t, stmax).
     Flat (≤16-chunk) scenes only — superchunk scenes keep the separate
     occlusion dispatch."""
     n = o4t.shape[1]
-    e = mu.shape[1]
+    e = m3.shape[1] // 3
     nc = e // BT
     grid = (n // BN, nc)
 
@@ -546,9 +566,7 @@ def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # shadow o4
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # shadow d4
             pl.BlockSpec((1, BN), lambda i, j, *_: (0, i)),   # shadow tmax
-            pl.BlockSpec((4, BT), cmap),
-            pl.BlockSpec((4, BT), cmap),
-            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, 3 * BT), cmap),
             pl.BlockSpec((TAB_R, e), lambda i, j, *_: (0, 0)),  # resident
         ],
         out_specs=[
@@ -560,7 +578,7 @@ def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
             pl.BlockSpec((1, BN), lambda i, j, *_: (0, i)),
         ],
     )
-    vma = out_vma(o4t, d4t, so4t, sd4t, mu, tab)
+    vma = out_vma(o4t, d4t, so4t, sd4t, m3, tab)
     out, occ = pl.pallas_call(
         _kernel_rows_nee,
         grid_spec=grid_spec,
@@ -574,7 +592,7 @@ def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
         ),
         interpret=interpret,
     )(chunk_bounds.T.reshape(-1), order, o4t, d4t, so4t, sd4t,
-      stmax.reshape(1, n), mu, mv, mw, tab)
+      stmax.reshape(1, n), m3, tab)
     return out, occ.reshape(-1)
 
 
@@ -629,7 +647,7 @@ def trace_occlude_pallas(scene: Scene, ray: Ray, active,
         "trace_occlude_pallas is flat-scene only (≤16 chunks)"
     rows, occ = _closest_hit_rows_nee(
         o4t, d4t, so4t, sd4t, pad(stm), scene.isect_chunk_bounds,
-        prep.mu, prep.mv, prep.mw, prep.tab, interpret=interpret)
+        prep.m3, prep.tab, interpret=interpret)
     rows = rows[:, :n]
     occ = occ[:n]
 
@@ -659,8 +677,8 @@ def trace_occlude_pallas(scene: Scene, ray: Ray, active,
 SCC = 16  # chunks per superchunk (SCC*BT = 4096 triangles)
 
 
-def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, mu_ref,
-                    mv_ref, mw_ref, tab_ref, out_ref, *, scc):
+def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, m3_ref,
+                    tab_ref, out_ref, *, scc):
     # The inner chunk loop is STATICALLY UNROLLED: in-kernel
     # fori_loop/cond kernels fault or hang inside large frame graphs on
     # this toolchain (observed twice: the round-1 fori+cond sweep, and a
@@ -700,19 +718,19 @@ def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, mu_ref,
 
             @pl.when(jnp.any(may))
             def _(c=c, may=may):
-                sl = pl.ds(c * BT, BT)
                 out_ref[45, :] = out_ref[45, :] + \
                     jnp.where(may, float(BT), 0.0)
-                _sweep_update(out_ref, o4, d4, mu_ref[:, sl], mv_ref[:, sl],
-                              mw_ref[:, sl], tab_ref[:, sl],
+                _sweep_update(out_ref, o4, d4,
+                              m3_ref[:, pl.ds(c * 3 * BT, 3 * BT)],
+                              tab_ref[:, pl.ds(c * BT, BT)],
                               (scid * scc + c) * BT)
 
 
 @functools.partial(jax.jit, static_argnames=("scc", "interpret"))
-def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
+def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, m3, tab,
                          scc=SCC, interpret=False):
     n = o4t.shape[1]
-    e = mu.shape[1]
+    e = m3.shape[1] // 3
     nsc = e // (BT * scc)
     grid = (n // BN, nsc)
     bts = BT * scc
@@ -730,9 +748,7 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
-            pl.BlockSpec((4, bts), scmap),
-            pl.BlockSpec((4, bts), scmap),
-            pl.BlockSpec((4, bts), scmap),
+            pl.BlockSpec((4, 3 * bts), scmap),
             pl.BlockSpec((TAB_R, bts), scmap),
         ],
         out_specs=[
@@ -743,9 +759,9 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, mu, mv, mw, tab,
         functools.partial(_kernel_rows_sc, scc=scc),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((OUT_R, n), jnp.float32,
-                                        vma=out_vma(o4t, d4t, mu, tab))],
+                                        vma=out_vma(o4t, d4t, m3, tab))],
         interpret=interpret,
-    )(sc_flat, chunk_flat, order, o4t, d4t, mu, mv, mw, tab)
+    )(sc_flat, chunk_flat, order, o4t, d4t, m3, tab)
     return out
 
 
@@ -756,6 +772,7 @@ class _TracePrep(NamedTuple):
     mu: jnp.ndarray           # (4, E_pad)
     mv: jnp.ndarray
     mw: jnp.ndarray
+    m3: jnp.ndarray           # (4, 3*E_pad) chunk-interleaved mu|mv|mw
     tab: jnp.ndarray          # (40, E_pad)
     chunk_flat: jnp.ndarray   # (nc_pad*8,) scalar-prefetch chunk bounds
     sc_flat: jnp.ndarray      # (nsc*8,) superchunk bounds (sc path only)
@@ -777,7 +794,9 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
     tab = build_trace_table(scene)
     if nc <= 16:
         return _TracePrep(False, scene.isect_mu, scene.isect_mv,
-                          scene.isect_mw, tab,
+                          scene.isect_mw,
+                          _m3_layout(scene.isect_mu, scene.isect_mv,
+                                     scene.isect_mw), tab,
                           scene.isect_chunk_bounds.T.reshape(-1),
                           jnp.zeros(8, jnp.float32))
 
@@ -805,7 +824,7 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
     maxs = jnp.where(real, cb_pad[3:6], -jnp.inf).reshape(3, nsc, scc)
     sc = jnp.concatenate([mins.min(axis=2), maxs.max(axis=2),
                           jnp.zeros((2, nsc), jnp.float32)], axis=0)
-    return _TracePrep(True, mu, mv, mw, tab,
+    return _TracePrep(True, mu, mv, mw, _m3_layout(mu, mv, mw), tab,
                       cb_pad.T.reshape(-1), sc.T.reshape(-1))
 
 
@@ -848,11 +867,11 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
         prep = prepare_trace_inputs(scene)
     if prep.superchunks:
         rows = _closest_hit_rows_sc(o4t, d4t, prep.sc_flat, prep.chunk_flat,
-                                    prep.mu, prep.mv, prep.mw, prep.tab,
+                                    prep.m3, prep.tab,
                                     interpret=interpret)[:, :n]
     else:
         rows = _closest_hit_rows(o4t, d4t, scene.isect_chunk_bounds,
-                                 prep.mu, prep.mv, prep.mw, prep.tab,
+                                 prep.m3, prep.tab,
                                  interpret=interpret)[:, :n]
 
     t = rows[40]
@@ -994,7 +1013,7 @@ def trace_pallas_classic(scene: Scene, ray: Ray, active=None,
 
 
 def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
-                      mu_ref, mv_ref, mw_ref, occ_ref):
+                      m3_ref, occ_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -1035,18 +1054,9 @@ def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
 
     @pl.when(jnp.any(may_hit))
     def _():
-        mu = mu_ref[...]
-        mv = mv_ref[...]
-        mw = mw_ref[...]
-
-        def mm(a, b):
-            return jax.lax.dot_general(
-                a, b, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-
-        u_o, v_o, w_o = mm(o4, mu), mm(o4, mv), mm(o4, mw)
-        u_d, v_d, w_d = mm(d4, mu), mm(d4, mv), mm(d4, mw)
+        m3 = m3_ref[...]
+        u_o, v_o, w_o = _uvw(o4, m3)
+        u_d, v_d, w_d = _uvw(d4, m3)
         wd_ok = jnp.abs(w_d) > _WD_EPS
         inv_wd = jnp.where(wd_ok, w_d, 1.0)
         t = -w_o / inv_wd
@@ -1058,9 +1068,9 @@ def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
+def _occlusion(o4t, d4t, t_max, chunk_bounds, m3, interpret=False):
     n = o4t.shape[1]
-    e = mu.shape[1]
+    e = m3.shape[1] // 3
     nc = e // BT
     grid = (n // BN, nc)
     gr = grid[0]
@@ -1076,9 +1086,7 @@ def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
             pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((4, BT), cmap),
-            pl.BlockSpec((4, BT), cmap),
-            pl.BlockSpec((4, BT), cmap),
+            pl.BlockSpec((4, 3 * BT), cmap),
         ],
         out_specs=[pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))],
     )
@@ -1086,10 +1094,10 @@ def _occlusion(o4t, d4t, t_max, chunk_bounds, mu, mv, mw, interpret=False):
         _occlusion_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32,
-                                        vma=out_vma(o4t, d4t, mu))],
+                                        vma=out_vma(o4t, d4t, m3))],
         interpret=interpret,
     )(chunk_bounds.T.reshape(-1), order, o4t, d4t, t_max.reshape(gr, BN),
-      mu, mv, mw)
+      m3)
     return occ.reshape(-1)
 
 
@@ -1123,7 +1131,8 @@ def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
     d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
                      pad(dx * 0)], axis=0)
     occ = _occlusion(o4t, d4t, pad(tm), scene.isect_chunk_bounds,
-                     scene.isect_mu, scene.isect_mv, scene.isect_mw,
+                     _m3_layout(scene.isect_mu, scene.isect_mv,
+                                scene.isect_mw),
                      interpret=interpret)[:n]
     out = occ.astype(bool)
     if active is not None:
