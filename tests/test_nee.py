@@ -136,3 +136,27 @@ def test_trace_occlude_pallas_unit():
                                   np.asarray(hit_s.eidx))
     np.testing.assert_array_equal(np.asarray(hit_f.u), np.asarray(hit_s.u))
     np.testing.assert_array_equal(np.asarray(occ_f), np.asarray(occ_s))
+
+
+def test_fused_nee_with_compaction_matches(monkeypatch):
+    """Compaction permutes the pending-shadow carry (origin, direction,
+    tmax, mask, contribution) alongside the wavefront; the render must
+    match the uncompacted fused render exactly (per-ray results are
+    permutation-invariant, and both graphs run the same fused kernel)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.render.renderer import render_radiance
+    from gdpathtracing_tpu.scene.demo import build_demo_scene
+
+    monkeypatch.setattr(ip, "_FORCE_INTERPRET", True)
+    scene = build_demo_scene(texture_resolution=8, sphere_detail=6)
+    cam = demo_camera(32, 16)  # 512 rays = 4 groups of 128, 2 blocks
+    base = dict(bounces=3, spp=1, traversal=Traversal.PALLAS, nee=True,
+                jitter=Jitter.NONE)
+    a = render_radiance(scene, cam,
+                        RenderConfig(compact_rays=True, **base), 5)
+    b = render_radiance(scene, cam,
+                        RenderConfig(compact_rays=False, **base), 5)
+    np.testing.assert_array_equal(np.asarray(a.radiance),
+                                  np.asarray(b.radiance))
+    np.testing.assert_array_equal(np.asarray(a.segments),
+                                  np.asarray(b.segments))
