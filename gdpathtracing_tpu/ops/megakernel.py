@@ -231,8 +231,14 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
             def _():
                 acc_ref[45, :] = acc_ref[45, :] + \
                     jnp.where(may, float(BT), 0.0)
-                _sweep_update(acc_ref, o4, d4, mu_ref[...], mv_ref[...],
-                              mw_ref[...], tab_ref[...], cid * BT)
+                # _sweep_update takes the chunk-interleaved (4, 3*BT)
+                # layout since the m3 rework; MEGA still streams mu/mv/mw
+                # separately, so join them here (VMEM values — register
+                # shuffles, the matmul results are element-identical).
+                _sweep_update(acc_ref, o4, d4,
+                              jnp.concatenate([mu_ref[...], mv_ref[...],
+                                               mw_ref[...]], axis=1),
+                              tab_ref[...], cid * BT)
 
         if nee:
             def _epilogue_a(fs, act):
