@@ -104,8 +104,8 @@ def main() -> None:
     #
     # Exception: the grid scene times a per-frame host loop — its frames
     # are seconds (floor error <3%), and the frame-scan + superchunk
-    # kernel combination at 1080p crashes the TPU worker (runtime bug,
-    # see docs/STATUS.md).
+    # kernel combination at 1080p crashes the TPU worker (runtime bug
+    # instance 4, docs/RUNTIME_BUG.md).
     import jax.numpy as jnp
 
     if args.scene == "grid":
