@@ -1,26 +1,91 @@
-"""Benchmark: Mrays/s/chip, primal, 1 spp @ 1080p on the demo scene
-(BASELINE.md north-star metric). Prints ONE JSON line.
+"""Benchmark: Mrays/s/chip, 1 spp @ 1080p on the demo scene (BASELINE.md
+north-star metric). Prints ONE JSON line.
+
+The default run (no args) measures ALL four north-star axes — primal,
+NEE, backward, and the incoherent grid scene — each in its own
+subprocess (one fresh-compile program group per process; and a crash or
+timeout on one axis cannot take down the others). The primary `value`
+is the primal number (round-over-round comparable with BENCH_r01-r03);
+the other axes land in `extra` so the driver's BENCH_r{N}.json history
+finally tracks every target (VERDICT r3 item 7), not just the best one.
 
 "Rays" = ray-trace queries actually issued (path segments), counted exactly
 by the integrator's `segments` AOV — not the optimistic W*H*bounces.
 vs_baseline is 1.0: the reference publishes no numbers (BASELINE.md), so
-this benchmark IS the baseline series; the driver's BENCH_r{N}.json history
-tracks round-over-round progress.
+this benchmark IS the baseline series.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+AXES = {
+    # axis -> (extra argv, timeout_s). Frame counts keep the cached-compile
+    # wall-clock of the full default run under ~10 min; uncached worst case
+    # is bounded by the per-axis timeouts.
+    "primal": ([], 2400),
+    "nee": (["--nee", "--frames", "4"], 2400),
+    "backward": (["--backward", "--frames", "3"], 3000),
+    "grid": (["--scene", "grid", "--frames", "3"], 2400),
+}
+
+
+def run_all_axes(verbose: bool) -> None:
+    """Default mode: measure every axis in a subprocess, emit ONE line."""
+    results: dict[str, dict | None] = {}
+    for axis, (argv, tmo) in AXES.items():
+        cmd = [sys.executable, "-u", __file__, "--only", axis] + argv
+        if verbose:
+            print(f"[bench] {axis}: {' '.join(cmd)}", file=sys.stderr,
+                  flush=True)
+        t0 = time.time()
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=tmo)
+            line = out.stdout.strip().splitlines()[-1]
+            results[axis] = json.loads(line)
+        except Exception as e:  # timeout, crash, parse failure
+            results[axis] = None
+            if verbose:
+                print(f"[bench] {axis} FAILED: {e}", file=sys.stderr)
+        if verbose:
+            print(f"[bench] {axis}: {results[axis]} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    extra = {}
+    for k, r in results.items():
+        if k != "primal":
+            extra[f"{k}_mrays"] = r["value"] if r else None
+        if r and "ms_per_frame" in r:
+            extra[f"{k}_ms"] = r["ms_per_frame"]
+    if results.get("nee") and results.get("primal"):
+        # Wall-clock ratio of the NEE frame vs the primal frame — the
+        # <=1.3x target (VERDICT r3 item 3).
+        extra["nee_over_primal_time"] = round(
+            results["nee"]["ms_per_frame"]
+            / results["primal"]["ms_per_frame"], 3)
+    primal = results.get("primal")
+    print(json.dumps({
+        "metric": "Mrays/s/chip primal 1spp 1920x1080 pallas demo",
+        "value": primal["value"] if primal else None,
+        "unit": "Mrays/s",
+        "vs_baseline": 1.0,
+        "extra": extra,
+    }))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    choices=["primal", "nee", "backward", "grid"],
+                    help="measure a single axis in-process (the no-arg "
+                         "default orchestrates all four in subprocesses)")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--bounces", type=int, default=5)
@@ -50,8 +115,16 @@ def main() -> None:
     ap.add_argument("--no-compact", action="store_true",
                     help="force stream compaction OFF (MEGA auto-enables "
                          "it for >=4-block wavefronts otherwise)")
-    ap.add_argument("--scene", default="demo", choices=["demo", "grid"],
+    ap.add_argument("--regen", action="store_true",
+                    help="path-regeneration frame loop (persistent "
+                         "always-full wavefront, render/regen.py)")
+    ap.add_argument("--no-regen", action="store_true",
+                    help="force the standard per-bounce loop")
+    ap.add_argument("--scene", default="demo",
+                    choices=["demo", "mid", "grid"],
                     help="demo = reference Cornell scene (~1.5k tris); "
+                         "mid = 16-instance sphere grid (~9k tris, ~35 "
+                         "chunks — pins the sort-heuristic boundary); "
                          "grid = 100-instance sphere grid (~100k tris)")
     ap.add_argument("--backward", action="store_true",
                     help="measure the BACKWARD pass (BASELINE.md 'primal & "
@@ -62,6 +135,10 @@ def main() -> None:
                          "the price of the gradient, not extra rays)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+
+    if args.only is None and set(sys.argv[1:]) <= {"--verbose"}:
+        run_all_axes(args.verbose)
+        return
 
     import jax
     import numpy as np
@@ -76,6 +153,9 @@ def main() -> None:
     if args.scene == "grid":
         scene = build_sphere_grid(n=10, sphere_detail=16)
         camera = grid_camera(args.width, args.height, n=10)
+    elif args.scene == "mid":
+        scene = build_sphere_grid(n=4, sphere_detail=12)
+        camera = grid_camera(args.width, args.height, n=4)
     else:
         scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
         camera = demo_camera(args.width, args.height)
@@ -91,6 +171,10 @@ def main() -> None:
         config = config.replace(compact_rays=True)
     if args.no_compact:
         config = config.replace(compact_rays=False)
+    if args.regen:
+        config = config.replace(regen=True)
+    if args.no_regen:
+        config = config.replace(regen=False)
 
     # All frames run inside ONE jitted program (lax.scan): per-dispatch
     # tunnel latency (~25 ms floor, ~300 ms for multi-output pytrees on
@@ -108,7 +192,7 @@ def main() -> None:
     # instance 4, docs/RUNTIME_BUG.md).
     import jax.numpy as jnp
 
-    if args.scene == "grid":
+    if args.scene in ("grid", "mid"):  # superchunk scenes: host loop
         step = jax.jit(lambda s, c, f:
                        render_radiance(s, c, config, f))
         if args.verbose:
@@ -136,10 +220,12 @@ def main() -> None:
                   file=sys.stderr)
         print(json.dumps({
             "metric": f"Mrays/s/chip primal {args.spp}spp "
-                      f"{args.width}x{args.height} {traversal.value} grid",
+                      f"{args.width}x{args.height} {traversal.value} "
+                      f"{args.scene}",
             "value": round(segments / dt / 1e6, 3),
             "unit": "Mrays/s",
             "vs_baseline": 1.0,
+            "ms_per_frame": round(dt * 1e3, 1),
         }))
         return
 
@@ -197,6 +283,7 @@ def main() -> None:
             "value": round(segments * args.frames / dt / 1e6, 3),
             "unit": "Mrays/s",
             "vs_baseline": 1.0,
+            "ms_per_frame": round(dt / args.frames * 1e3, 1),
         }))
         return
 
@@ -253,6 +340,7 @@ def main() -> None:
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": 1.0,
+        "ms_per_frame": round(dt / args.frames * 1e3, 1),
     }))
 
 

@@ -1,0 +1,259 @@
+"""Round-4 diagnostic: where does the flat ~100 ms/bounce actually go?
+
+Two competing explanations of round 3's liveness-independent bounce cost
+(docs/STATUS.md campaign A):
+  (a) XLA glue — dozens of elementwise kernels over the full wavefront
+      (the VERDICT's lever-1 premise), or
+  (b) the rows-kernel sweep itself on INCOHERENT rays — every live block
+      sweeps every chunk, paying the (BN, BT) VPU epilogue ~nc times
+      (round-3 campaign numbers all fit this: compaction/m3/tile-size
+      moved nothing because the sweep, not DMA/dispatch/glue, dominates).
+
+Stages (run one per process — remote-compile request bodies are limited,
+docs/STATUS.md "Megakernel HTTP 413"):
+  frame   — 5-bounce path_trace on one 256k tile: REAL pallas trace vs a
+            FAKE trace_fn returning precomputed rows (glue-only). The
+            difference isolates the kernel; the fake is the glue.
+  kernels — trace_pallas in isolation: coherent camera rays vs incoherent
+            15%-live bounce-2-like rays; occluded_pallas on shadow-like
+            rays (NEE phase-B unit cost).
+  micro   — gather/scatter microbenches at frame size (2.07M): prices the
+            per-ray packing / path-regeneration designs (scatter-at-death,
+            row gathers) against the known 27 ns/elem gather wall.
+
+Timing discipline: K in-graph repeats inside ONE jitted scan with a
+carry data-dependency (CLAUDE.md "Measurement discipline"); the barrier
+is a full np.asarray transfer of the scalar checksum.
+
+Run: bash examples/profile_r4.sh   (logs to examples/profile_r4.log)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdpathtracing_tpu.config import RenderConfig, Traversal
+from gdpathtracing_tpu.core import rng
+from gdpathtracing_tpu.core.vec import Vec3
+from gdpathtracing_tpu.render.integrator import path_trace
+from gdpathtracing_tpu.render.types import HitInfo, Ray
+from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
+
+W, H = 1920, 1080
+TILE = 262144
+NFULL = 2073600  # 1080p pixel count, the full-frame wavefront
+K = 8
+
+FLOOR = 0.0
+
+
+def timeit(fn, *args, iters=4):
+    t0 = time.time()
+    v = float(np.asarray(fn(*args)))
+    compile_s = time.time() - t0
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        np.asarray(fn(*args))
+        ts.append(time.time() - t0)
+    return min(ts), compile_s, v
+
+
+def bench_scan(name, step, x0=None, k=K):
+    """step: scalar carry -> scalar. Times k in-graph repeats."""
+    x0 = jnp.float32(0.0) if x0 is None else x0
+
+    @jax.jit
+    def run(c):
+        def body(c, _):
+            return step(c), ()
+        c, _ = jax.lax.scan(body, c, None, length=k)
+        return c
+
+    tmin, comp, v = timeit(run, x0)
+    per = (tmin - FLOOR) / k * 1e3
+    print(f"{name:52s} {per:9.2f} ms/iter  (total {tmin*1e3:8.1f} ms, "
+          f"compile {comp:5.1f}s, chk {v:.6g})", flush=True)
+    return per
+
+
+def setup():
+    global FLOOR
+    print("devices:", jax.devices(), flush=True)
+    scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
+    camera = demo_camera(W, H)
+    noop = jax.jit(lambda c: c + 1.0)
+    FLOOR, _, _ = timeit(noop, jnp.float32(0.0))
+    print(f"dispatch floor: {FLOOR*1e3:.1f} ms", flush=True)
+    return scene, camera
+
+
+def camera_rays(scene, camera, cfg, n=TILE):
+    pids = jnp.arange(n, dtype=jnp.int32)
+    px = (pids % W).astype(jnp.uint32)
+    py = (pids // W).astype(jnp.uint32)
+    seed = rng.prng_seed(px, py, jnp.uint32(0))
+    ray, seed = camera.generate_rays(pids, seed, cfg)
+    return ray, seed
+
+
+def incoherent_rays(scene, n=TILE, live_frac=0.15, rng_seed=0):
+    """Bounce-2-like wavefront: random origins inside the scene bounds,
+    random unit directions, live mask scattered at `live_frac` (the demo's
+    measured bounce-2 survivor density)."""
+    cb = np.asarray(scene.isect_chunk_bounds)
+    lo = cb[0:3].min(axis=1)[:, None]
+    hi = cb[3:6].max(axis=1)[:, None]
+    r = np.random.default_rng(rng_seed)
+    o = lo + (hi - lo) * r.random((3, n), dtype=np.float32) * 0.9
+    d = r.normal(size=(3, n)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    live = r.random(n) < live_frac
+    ray = Ray(Vec3(*(jnp.asarray(a) for a in o)),
+              Vec3(*(jnp.asarray(a) for a in d)))
+    return ray, jnp.asarray(live)
+
+
+def stage_frame(scene, camera):
+    cfg = RenderConfig(bounces=5, spp=1, traversal=Traversal.PALLAS)
+    ray, seed = camera_rays(scene, camera, cfg)
+
+    def real(c):
+        r = Ray(Vec3(ray.o.x + c * 1e-12, ray.o.y, ray.o.z), ray.d)
+        res = path_trace(scene, r, seed, cfg, far=camera.far)
+        return (res.radiance.x.sum() + res.depth.sum() * 1e-9
+                + res.segments.sum().astype(jnp.float32) * 1e-9)
+
+    a = bench_scan("path_trace 5b REAL pallas (256k tile)", real, k=4)
+
+    # Precompute one real hit, then replay it as a constant trace_fn: the
+    # bounce loop runs ALL its glue (shading, brdf, rng, carries, group
+    # compaction) but zero kernel work. rows is tied to the evolving ray
+    # origin so XLA cannot hoist shading out of the bounce loop.
+    from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
+    hit0 = jax.jit(lambda r: trace_pallas(scene, r, None))(ray)
+    hit0 = jax.tree.map(jnp.asarray, hit0)
+
+    def fake_trace(scene_, r, active):
+        rows = hit0.rows + r.o.x[None, :] * 1e-30
+        t = rows[40]
+        return HitInfo(t=jnp.where(active, t, 1e9), tri=hit0.tri,
+                       inst=hit0.inst, u=hit0.u, v=hit0.v, front=hit0.front,
+                       steps=hit0.steps, eidx=hit0.eidx, rows=rows)
+
+    def fake(c):
+        r = Ray(Vec3(ray.o.x + c * 1e-12, ray.o.y, ray.o.z), ray.d)
+        res = path_trace(scene, r, seed, cfg, trace_fn=fake_trace,
+                         far=camera.far)
+        return (res.radiance.x.sum() + res.depth.sum() * 1e-9
+                + res.segments.sum().astype(jnp.float32) * 1e-9)
+
+    b = bench_scan("path_trace 5b FAKE trace (glue only)", fake, k=4)
+    print(f"==> glue/bounce ~{b/5:.2f} ms, kernel+prep/bounce "
+          f"~{(a-b)/5:.2f} ms (x8 tiles: glue {b/5*8:.1f}, "
+          f"kernel {(a-b)/5*8:.1f} ms/bounce/frame)", flush=True)
+
+
+def stage_kernels(scene, camera):
+    cfg = RenderConfig(bounces=5, spp=1, traversal=Traversal.PALLAS)
+    from gdpathtracing_tpu.ops.intersect_pallas import (occluded_pallas,
+                                                        trace_pallas)
+    ray, _ = camera_rays(scene, camera, cfg)
+    act = jnp.ones(TILE, bool)
+
+    def coh(c):
+        r = Ray(Vec3(ray.o.x + c * 1e-12, ray.o.y, ray.o.z), ray.d)
+        h = trace_pallas(scene, r, act)
+        return h.t.sum() + h.u.sum()
+
+    bench_scan("trace_pallas coherent camera rays (256k)", coh)
+
+    iray, ilive = incoherent_rays(scene)
+
+    def inc(c):
+        r = Ray(Vec3(iray.o.x + c * 1e-12, iray.o.y, iray.o.z), iray.d)
+        h = trace_pallas(scene, r, ilive)
+        return h.t.sum() + h.u.sum()
+
+    bench_scan("trace_pallas incoherent 15%-live (256k)", inc)
+
+    iray2, _ = incoherent_rays(scene, rng_seed=1)
+
+    def inc_full(c):
+        r = Ray(Vec3(iray2.o.x + c * 1e-12, iray2.o.y, iray2.o.z), iray2.d)
+        h = trace_pallas(scene, r, jnp.ones(TILE, bool))
+        return h.t.sum() + h.u.sum()
+
+    bench_scan("trace_pallas incoherent 100%-live (256k)", inc_full)
+
+    # Shadow-like rays: origins on scene geometry (reuse incoherent
+    # origins), directions at the demo light (0, 2.956, 0).
+    sray, slive = incoherent_rays(scene, rng_seed=2)
+    ldx = 0.0 - sray.o.x
+    ldy = 2.956 - sray.o.y
+    ldz = 0.0 - sray.o.z
+    dist = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
+    sdir = Vec3(ldx / dist, ldy / dist, ldz / dist)
+    tmax = dist * (1.0 - 1e-3)
+
+    def occ(c):
+        r = Ray(Vec3(sray.o.x + c * 1e-12, sray.o.y, sray.o.z), sdir)
+        return occluded_pallas(scene, r, tmax, slive
+                               ).sum().astype(jnp.float32)
+
+    bench_scan("occluded_pallas shadow rays 15%-live (256k)", occ)
+
+
+def stage_micro(scene, camera):
+    n = NFULL
+    r = np.random.default_rng(0)
+    perm = jnp.asarray(r.permutation(n).astype(np.int32))
+    x0 = jnp.asarray(r.random(n, dtype=np.float32))
+    rows8 = jnp.asarray(r.random((n, 8), dtype=np.float32))
+    rows48 = jnp.asarray(r.random((n, 48), dtype=np.float32))
+    mask = jnp.asarray(r.random(n) < 0.45)
+
+    # NOTE: a (N,48)[perm] row gather HUNG the remote compiler for 20+
+    # minutes (round-4 session log) — do not benchmark that shape.
+    del rows48
+    bench_scan("scatter-set zeros[perm] = x",
+               lambda c: jnp.zeros(n, jnp.float32).at[perm].set(x0 + c)
+               .sum())
+    bench_scan("scatter-add zeros[perm] += x",
+               lambda c: jnp.zeros(n, jnp.float32).at[perm].add(x0 + c)
+               .sum())
+    bench_scan("row scatter-set zeros(N,8)[perm] = rows",
+               lambda c: jnp.zeros((n, 8), jnp.float32).at[perm]
+               .set(rows8 + c).sum())
+    dropped = jnp.where(mask, perm, n)  # 45% live, rest dropped
+    bench_scan("masked (45%) row scatter mode=drop",
+               lambda c: jnp.zeros((n, 8), jnp.float32)
+               .at[dropped].set(rows8 + c, mode="drop").sum())
+    # The regeneration primitive: one cumsum over the wavefront.
+    bench_scan("cumsum i32 (2.07M)",
+               lambda c: jnp.cumsum((x0 + c < 0.45).astype(jnp.int32))[-1]
+               .astype(jnp.float32))
+
+
+def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    scene, camera = setup()
+    if stage in ("frame", "all"):
+        stage_frame(scene, camera)
+    if stage in ("kernels", "all"):
+        stage_kernels(scene, camera)
+    if stage in ("micro", "all"):
+        stage_micro(scene, camera)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--traversal", default="pallas",
                     choices=["pallas", "unit", "brute", "bvh", "mega"])
+    ap.add_argument("--regen", action="store_true",
+                    help="path-regeneration frame loop (render/regen.py)")
     ap.add_argument("--out", default="out/demo.png")
     args = ap.parse_args()
 
@@ -59,7 +61,8 @@ def main() -> None:
           f"materials={scene.n_materials}")
     camera = demo_camera(args.res, args.res)
     config = RenderConfig(bounces=args.bounces, spp=args.spp,
-                          traversal=Traversal(args.traversal))
+                          traversal=Traversal(args.traversal),
+                          regen=args.regen or None)
     engine = Engine(scene, config)
 
     t0 = time.time()

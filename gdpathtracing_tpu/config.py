@@ -99,8 +99,23 @@ class RenderConfig:
     #                           it is result-transparent. Applies to MEGA
     #                           (None = auto: on for wavefronts >= 4
     #                           blocks) and to wavefront-PALLAS (None =
-    #                           auto: on for flat-scene wavefronts
-    #                           >= 65536 rays; sort_rays subsumes it).
+    #                           auto: on for >= 65536-ray wavefronts
+    #                           whenever per-bounce sorting is off —
+    #                           sort_rays keys dead rays last and so
+    #                           subsumes it).
+    regen: bool | None = None  # path-regeneration frame loop
+    #                           (render/regen.py): a persistent wavefront
+    #                           where dead lanes are refilled with the
+    #                           next unstarted path, so sweeps stay ~100%
+    #                           live instead of paying the flat per-bounce
+    #                           cost of mostly-dead blocks (round-3
+    #                           diagnosis). Primal only (while_loop is not
+    #                           reverse-differentiable); requires
+    #                           regen.regen_supported. None currently
+    #                           means off (the auto default will flip to
+    #                           PALLAS-primal once TPU-validated); the
+    #                           standard per-bounce loop remains the
+    #                           bit-golden reference path.
     differentiable: bool = False  # differentiable render path: PALLAS
     #                           traversal becomes a primal hit-finder with a
     #                           differentiable recompute epilogue
@@ -125,10 +140,26 @@ class RenderConfig:
     #                           estimators need. The primal image is
     #                           IDENTICAL either way.
     soft_shadows: float = 0.0  # > 0: differentiable soft-shadow visibility
-    #                           with this barycentric edge width (NEE +
-    #                           BRUTE/UNIT backends; gradients of shadows
-    #                           w.r.t. blocker geometry — the silhouette
-    #                           term hard visibility drops). 0 = hard.
+    #                           with this barycentric edge width (NEE;
+    #                           BRUTE/UNIT use the exact all-triangle
+    #                           product, PALLAS a top-1-blocker kernel —
+    #                           gradients of shadows w.r.t. blocker
+    #                           geometry, the silhouette term hard
+    #                           visibility drops). 0 = hard.
+    soft_primary: float = 0.0  # > 0: differentiable PRIMARY-visibility
+    #                           silhouettes with this barycentric edge
+    #                           width: the first hit blends toward the
+    #                           environment as the winner's barycentric
+    #                           edge margin -> 0 (SoftRas-style
+    #                           relaxation; alpha = 2 sigmoid(m/eps) - 1
+    #                           is continuous across the silhouette), so
+    #                           pixel gradients w.r.t. object/camera pose
+    #                           include the object-over-background
+    #                           boundary term. Works on every
+    #                           differentiable backend incl. PALLAS
+    #                           (the recomputed winner u/v carry the
+    #                           gradient). Bias O(eps) in silhouette
+    #                           bands; 0 = hard (bit-identical goldens).
     traversal: Traversal = Traversal.BVH
     jitter: Jitter = Jitter.UNIFORM
     max_stack: int = 64       # traversal stack depth (main.glsl:272,307)

@@ -601,11 +601,16 @@ def trace_occlude_pallas(scene: Scene, ray: Ray, active,
                          interpret: bool = False,
                          prep: "_TracePrep | None" = None):
     """Closest-hit for `ray` + any-hit occlusion for `sh_ray` in ONE fused
-    kernel dispatch (the integrator's deferred-shadow NEE path). Returns
-    (HitInfo-with-rows, occluded: (N,) bool). Both results are bit-equal to
-    the separate trace_pallas / occluded_pallas calls (occlusion is an
-    order-independent OR; the closest-hit phase is the rows kernel body
-    unchanged) — tests/test_nee.py::test_trace_occlude_pallas_unit."""
+    kernel dispatch (the integrator's deferred-shadow NEE path; the
+    reference resolves direct light inside the same kernel as the bounce,
+    though its transport has no NEE — README.md:36 wishlist). Returns
+    (HitInfo-with-rows, occluded: (N,) bool). t/u/v/occ match the separate
+    trace_pallas / occluded_pallas calls up to visit-order-dependent
+    tie-breaks: sharing the shadow origins in `_block_chunk_order`'s
+    centroid can permute a block's chunk visit order, so exact-t ties may
+    pick a different winning triangle and the steps AOV may differ —
+    tests/test_nee.py::test_trace_occlude_pallas_unit covers the
+    practical equality."""
     interpret = interpret or _FORCE_INTERPRET
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
@@ -1138,6 +1143,208 @@ def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
     if active is not None:
         out = out & active
     return out
+
+
+# ---------------------------------------------------------------------------
+# Soft-shadow (top-1 blocker) kernel: per shadow ray, find the triangle
+# with the MAXIMUM barycentric edge margin among all triangles whose plane
+# the ray crosses inside (0, t_max) — near-misses (negative margin)
+# included. The differentiable wrapper recomputes that winner's coverage
+# sigmoid(margin/eps) from the live isect_cols, so silhouette gradients
+# w.r.t. blocker geometry flow through the PALLAS path (BASELINE config 4;
+# BRUTE/UNIT keep the exact all-triangle product, intersect.occlusion_soft
+# — this kernel is its top-1 approximation: equal whenever one blocker
+# dominates the band, and both saturate to 0 visibility off the band).
+# ---------------------------------------------------------------------------
+
+
+def _soft_occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
+                           m3_ref, eo_ref, marg_ref, idx_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        marg_ref[i, :] = jnp.full((marg_ref.shape[1],), -1e9, jnp.float32)
+        idx_ref[i, :] = jnp.zeros((idx_ref.shape[1],), jnp.int32)
+
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    t_max = tmax_ref[i, :]
+    cur = marg_ref[i, :]
+
+    nc = pl.num_programs(1)
+    cid = ord_ref[i * nc + j]
+
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
+                       _rcp(dx), _rcp(dy), _rcp(dz))
+    # No `occ` early-out (a max cannot resolve early); the slab test is
+    # conservative for the in-range triangles of this chunk (a near-miss
+    # point lies within ~eps·edge of the triangle, i.e. essentially inside
+    # the chunk AABB the triangle is contained in).
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max)
+
+    @pl.when(jnp.any(may_hit))
+    def _():
+        m3 = m3_ref[...]
+        u_o, v_o, w_o = _uvw(o4, m3)
+        u_d, v_d, w_d = _uvw(d4, m3)
+        wd_ok = jnp.abs(w_d) > _WD_EPS
+        inv_wd = jnp.where(wd_ok, w_d, 1.0)
+        t = -w_o / inv_wd
+        u = u_o + t * u_d
+        v = v_o + t * v_d
+        w_ = 1.0 - u - v
+        # Openness-gated margin: only OPEN edges soften; a crossing past
+        # an interior edge gates hard (the neighbor triangle covers it).
+        eo = eo_ref[...]
+        ou, ov, ow = eo[0][None, :], eo[1][None, :], eo[2][None, :]
+        m_open = jnp.minimum(
+            jnp.minimum(jnp.where(ou > 0, u, 1.0),
+                        jnp.where(ov > 0, v, 1.0)),
+            jnp.where(ow > 0, w_, 1.0))
+        int_ok = jnp.minimum(
+            jnp.minimum(jnp.where(ou > 0, 1.0, u),
+                        jnp.where(ov > 0, 1.0, v)),
+            jnp.where(ow > 0, 1.0, w_)) > 0.0
+        in_t = wd_ok & (t > 1e-6) & (t < t_max[:, None]) & int_ok
+        m = jnp.where(in_t, m_open, -1e9)
+        mk = jnp.max(m, axis=1)                       # (BN,)
+        better = mk > cur
+
+        @pl.when(jnp.any(better))
+        def _():
+            bt = m.shape[1]
+            k = jnp.argmax(m, axis=1).astype(jnp.int32)
+            marg_ref[i, :] = jnp.where(better, mk, cur)
+            idx_ref[i, :] = jnp.where(better, cid * bt + k, idx_ref[i, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _soft_occlusion(o4t, d4t, t_max, chunk_bounds, m3, eo4,
+                    interpret=False):
+    n = o4t.shape[1]
+    e = m3.shape[1] // 3
+    nc = e // BT
+    grid = (n // BN, nc)
+    gr = grid[0]
+    order = _block_chunk_order(o4t, chunk_bounds).reshape(-1)
+
+    def cmap(i, j, cb_ref, ord_ref):
+        return (0, ord_ref[i * nc + j])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0)),
+            pl.BlockSpec((4, 3 * BT), cmap),
+            pl.BlockSpec((4, BT), cmap),
+        ],
+        out_specs=[pl.BlockSpec((gr, BN), lambda i, j, *_: (0, 0))
+                   for _ in range(2)],
+    )
+    marg, idx = pl.pallas_call(
+        _soft_occlusion_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.float32,
+                                        vma=out_vma(o4t, d4t, m3)),
+                   jax.ShapeDtypeStruct((gr, BN), jnp.int32,
+                                        vma=out_vma(o4t, d4t, m3))],
+        interpret=interpret,
+    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, t_max.reshape(gr, BN),
+      m3, eo4)
+    return marg.reshape(-1), idx.reshape(-1)
+
+
+def soft_occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
+                         edge_eps: float = 2e-2,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Differentiable soft visibility in [0, 1] for shadow rays through
+    the PALLAS path: the kernel (a pure primal finder on stop-gradient
+    inputs) locates the maximum-coverage blocker candidate; its coverage
+    is recomputed differentiably from the live ``scene.isect_cols`` rows,
+    so ``jax.grad`` flows to blocker vertices / instance poses exactly as
+    in intersect.occlusion_soft (top-1 blocker instead of the all-triangle
+    product — see _soft_occlusion_kernel)."""
+    interpret = interpret or _FORCE_INTERPRET
+    sg = jax.lax.stop_gradient
+    n = ray.o.x.shape[0]
+    n_pad = -(-n // BN) * BN
+
+    ox, oy, oz = sg(ray.o.x), sg(ray.o.y), sg(ray.o.z)
+    dx, dy, dz = sg(ray.d.x), sg(ray.d.y), sg(ray.d.z)
+    tm = sg(t_max)
+    if active is not None:
+        far, s3 = 1e9, 0.5773503
+        ox = jnp.where(active, ox, far)
+        oy = jnp.where(active, oy, far)
+        oz = jnp.where(active, oz, far)
+        dx = jnp.where(active, dx, s3)
+        dy = jnp.where(active, dy, s3)
+        dz = jnp.where(active, dz, s3)
+        tm = jnp.where(active, tm, 0.0)
+
+    def pad(x, value=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=value)
+
+    o4t = jnp.stack([pad(ox, 1e9), pad(oy, 1e9), pad(oz, 1e9),
+                     pad(ox * 0 + 1.0)], axis=0)
+    d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
+                     pad(dx * 0)], axis=0)
+    # Per-expanded-triangle edge openness, (4, E): rows u/v/w + pad.
+    eo_n = sg(scene.tri_edge_open)[sg(scene.isect_tri)]  # (E, 3)
+    eo4 = jnp.concatenate(
+        [eo_n.T, jnp.zeros((1, eo_n.shape[0]), jnp.float32)], axis=0)
+    marg0, eidx = _soft_occlusion(
+        o4t, d4t, pad(tm), sg(scene.isect_chunk_bounds),
+        _m3_layout(sg(scene.isect_mu), sg(scene.isect_mv),
+                   sg(scene.isect_mw)), eo4,
+        interpret=interpret)
+    marg0, eidx = marg0[:n], eidx[:n]
+    found = marg0 > -1e8
+
+    # Differentiable recompute of the winner's coverage (the same
+    # plane-intersection epilogue as trace_pallas_diff).
+    rows = scene.isect_cols[eidx]  # (N, 12)
+    one = ray.o.x * 0.0 + 1.0
+    zero = ray.o.x * 0.0
+
+    def dot4(c0, x, y, z, w_):
+        return rows[:, c0] * x + rows[:, c0 + 1] * y + \
+            rows[:, c0 + 2] * z + rows[:, c0 + 3] * w_
+
+    w_o = dot4(8, ray.o.x, ray.o.y, ray.o.z, one)
+    w_d = dot4(8, ray.d.x, ray.d.y, ray.d.z, zero)
+    inv_wd = jnp.where(jnp.abs(w_d) > _WD_EPS, w_d,
+                       jnp.where(w_d < 0, -_WD_EPS, _WD_EPS))
+    t = -w_o / inv_wd
+    u = dot4(0, ray.o.x, ray.o.y, ray.o.z, one) + \
+        t * dot4(0, ray.d.x, ray.d.y, ray.d.z, zero)
+    v = dot4(4, ray.o.x, ray.o.y, ray.o.z, one) + \
+        t * dot4(4, ray.d.x, ray.d.y, ray.d.z, zero)
+    w_ = 1.0 - u - v
+    eo_w = eo_n[eidx]  # (N, 3) — detached gates; same as the kernel's
+    m_open = jnp.minimum(
+        jnp.minimum(jnp.where(eo_w[:, 0] > 0, u, 1.0),
+                    jnp.where(eo_w[:, 1] > 0, v, 1.0)),
+        jnp.where(eo_w[:, 2] > 0, w_, 1.0))
+    int_ok = jnp.minimum(
+        jnp.minimum(jnp.where(eo_w[:, 0] > 0, 1.0, u),
+                    jnp.where(eo_w[:, 1] > 0, 1.0, v)),
+        jnp.where(eo_w[:, 2] > 0, 1.0, w_)) > 0.0
+    in_t = sg((jnp.abs(w_d) > _WD_EPS) & (t > 1e-6) & (t < t_max)
+              & int_ok)
+    cov = jax.nn.sigmoid(m_open / edge_eps)
+    cov = jnp.where(found & in_t, cov, 0.0)
+    vis = 1.0 - cov
+    if active is not None:
+        vis = jnp.where(active, vis, 1.0)
+    return vis
 
 
 # ---------------------------------------------------------------------------
