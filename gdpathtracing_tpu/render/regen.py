@@ -1,0 +1,370 @@
+"""Path-regeneration integrator: a persistent, always-full wavefront.
+
+Round-3 diagnosis (docs/STATUS.md campaign A): the per-bounce cost of the
+standard wavefront is FLAT ~100 ms regardless of live-ray count, because
+ray death is spatially scattered — nearly every 256-lane block keeps at
+least one live ray, so it sweeps every chunk while its dead lanes do
+nothing. Group compaction and sorting cannot fix that (group granularity
+is the gather-wall floor; per-ray XLA reorder costs ~830 ms/bounce).
+
+Regeneration attacks the waste at the source: instead of letting lanes
+idle, every dead lane is immediately REFILLED with the next unstarted
+path (camera ray) from the frame's pool. The wavefront stays ~100% live
+for the whole frame, so the sweep cost finally tracks the real segment
+count. This is the TPU analog of persistent-threads path regeneration
+(Aila/Laine-style GPU wavefront schedulers); the reference's SIMT kernel
+gets the same effect for free from early thread exit + new dispatches per
+frame (main.glsl:372-436).
+
+Why no gathers: a fresh camera ray is pure arithmetic of its path id
+(pixel = id % n_pix, sample = id // n_pix, RNG seed = hash(px, py,
+frame·spp + sample)) — dead lanes compute their replacement in place.
+Finished paths leave via ONE masked row scatter per iteration
+(per-row cost is ~5 ns, measured — examples/profile_r4.log — unlike the
+27 ns/element scattered gathers that killed per-ray sorting).
+
+Transport: per-path RNG streams and per-segment math are exactly the
+standard integrator's (render/integrator.py body), so each path's
+radiance matches path_trace bit-for-bit up to visit-order tie-breaks in
+the traversal (block composition differs, so `_block_chunk_order` may
+visit chunks in a different order; exact-t ties are measure-zero).
+Oracle test: tests/test_regen.py compares against path_trace.
+
+Limits: primal only (lax.while_loop is not reverse-differentiable);
+sort_rays scenes (>16-chunk auto) keep the standard loop by default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gdpathtracing_tpu.config import RenderConfig, Traversal
+from gdpathtracing_tpu.core import rng
+from gdpathtracing_tpu.core.vec import Vec3, reflect, where as vwhere
+from gdpathtracing_tpu.render import brdf
+from gdpathtracing_tpu.render.camera import Camera
+from gdpathtracing_tpu.render.integrator import get_trace_fn
+from gdpathtracing_tpu.render.shading import get_shading_data
+from gdpathtracing_tpu.render.sky import sample_sky
+from gdpathtracing_tpu.render.types import Ray
+from gdpathtracing_tpu.scene.scene import Scene
+
+AOV_COLS = 6  # depth | nx ny nz | steps | segments
+
+
+def regen_supported(scene: Scene, config: RenderConfig) -> bool:
+    """Gate for the regeneration frame loop (renderer auto path)."""
+    return (config.traversal in (Traversal.PALLAS, Traversal.UNIT,
+                                 Traversal.BRUTE)
+            and not config.differentiable
+            and config.soft_shadows == 0.0
+            and config.soft_primary == 0.0)
+
+
+def render_radiance_regen(scene: Scene, camera: Camera,
+                          config: RenderConfig, frame_index=0):
+    """Full-frame trace with path regeneration. Returns FrameAOVs
+    (same contract as renderer.render_radiance)."""
+    from gdpathtracing_tpu.render.renderer import FrameAOVs
+
+    w, h = camera.width, camera.height
+    n_pix = w * h
+    n_paths = n_pix * config.spp
+    nw = min(config.tile_rays, -(-n_paths // 256) * 256)
+    frame_index = jnp.asarray(frame_index, dtype=jnp.uint32)
+    f32 = jnp.float32
+
+    trace_fn = get_trace_fn(config, scene)
+    fast_shading = config.traversal in (Traversal.UNIT, Traversal.PALLAS)
+    use_nee = config.nee and scene.n_lights > 0
+    if use_nee:
+        from gdpathtracing_tpu.render import lights as lights_mod
+        light_table = lights_mod.build_light_table(scene)
+
+    # Deferred-shadow NEE fusion, regeneration-style: bounce i's shadow
+    # occlusion rides bounce i+1's fused kernel dispatch (phase B), as in
+    # the standard integrator's fuse_nee. Because the lane may have been
+    # REGENERATED between posting the query and resolving it, each pending
+    # carries its owning path id: if the lane still owns the path the
+    # resolved direct term adds to lane radiance (same accumulation order
+    # as integrator.py's fused path); otherwise it scatter-adds straight
+    # into the finished path's output pixel (its final radiance term, the
+    # analog of the standard path's post-loop flush).
+    from gdpathtracing_tpu.render.integrator import _FORCE_UNFUSED_NEE
+    fuse_nee = (use_nee and config.traversal == Traversal.PALLAS
+                and not _FORCE_UNFUSED_NEE)
+    if fuse_nee:
+        from gdpathtracing_tpu.ops.intersect_pallas import (
+            prepare_trace_inputs, trace_occlude_pallas)
+        nee_prep = prepare_trace_inputs(scene)
+        if nee_prep.superchunks:  # flat-grid fused kernel only
+            fuse_nee = False
+
+    def spawn(path_id):
+        """Camera ray + RNG stream of path `path_id` — identical to the
+        renderer's per-tile spawn (pixel-major within each spp sample)."""
+        pix = path_id % n_pix
+        s = (path_id // n_pix).astype(jnp.uint32)
+        px = (pix % w).astype(jnp.uint32)
+        py = (pix // w).astype(jnp.uint32)
+        seed = rng.prng_seed(px, py,
+                             frame_index * jnp.uint32(config.spp) + s)
+        ray, seed = camera.generate_rays(pix, seed, config)
+        return ray, seed
+
+    lane0 = jnp.arange(nw, dtype=jnp.int32)
+    ray0, seed0 = spawn(lane0)
+    zero = jnp.zeros(nw, f32)
+    zero3 = Vec3(zero, zero, zero)
+    one3 = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
+
+    init = dict(
+        next_path=jnp.int32(min(nw, n_paths)),
+        out_rgb=jnp.zeros((n_paths, 3), f32),
+        out_aov=jnp.zeros((n_paths, AOV_COLS), f32),
+        ray_o=ray0.o, ray_d=ray0.d, seed=seed0,
+        tp=one3, rad=zero3,
+        pid=lane0, bounce=jnp.zeros(nw, jnp.int32),
+        active=lane0 < n_paths,
+        prev_pdf=zero - 1.0,
+        depth1=zero + f32(camera.far), normal1=zero3,
+        steps=jnp.zeros(nw, jnp.int32), segs=jnp.zeros(nw, jnp.int32),
+    )
+    if fuse_nee:
+        init.update(p_sh_o=zero3, p_sh_d=zero3, p_sh_tmax=zero,
+                    p_sh_active=jnp.zeros(nw, bool), p_pend=zero3,
+                    p_pid=lane0 * 0)
+
+    def cond(c):
+        more = (c["next_path"] < n_paths) | jnp.any(c["active"])
+        if fuse_nee:  # drain the last posted shadow queries
+            more = more | jnp.any(c["p_sh_active"])
+        return more
+
+    def body(c):
+        ray_o, ray_d = c["ray_o"], c["ray_d"]
+        throughput, radiance = c["tp"], c["rad"]
+        active, seed = c["active"], c["seed"]
+        bounce, prev_pdf = c["bounce"], c["prev_pdf"]
+        depth1, normal1 = c["depth1"], c["normal1"]
+        steps, segs = c["steps"], c["segs"]
+
+        # ---- one path segment: the standard integrator body ----
+        r = Ray(ray_o, ray_d)
+        out_rgb = c["out_rgb"]
+        if fuse_nee:
+            # Phase A closest-hit + phase B any-hit for the PREVIOUS
+            # segment's shadow queries, one fused dispatch.
+            hit, p_occ = trace_occlude_pallas(
+                scene, r, active, Ray(c["p_sh_o"], c["p_sh_d"]),
+                c["p_sh_tmax"], c["p_sh_active"], prep=nee_prep)
+            vis_prev = (~p_occ).astype(jnp.float32)
+            contrib = c["p_pend"] * vis_prev
+            # The lane still owns the posting path only if it is ACTIVE
+            # with the same pid (pids are pool ordinals, never reused).
+            # A retired path's lane may keep its pid when the pool is
+            # dry — `active` distinguishes that case.
+            own = c["p_sh_active"] & (c["p_pid"] == c["pid"]) & active
+            radiance = vwhere(own, radiance + contrib, radiance)
+            # Pending of a path retired since it posted the query: its
+            # final radiance term goes straight to the output pixel.
+            late = c["p_sh_active"] & ~own
+            lidx = jnp.where(late, c["p_pid"], n_paths)
+            lrows = jnp.stack([contrib.x, contrib.y, contrib.z], axis=1)
+            out_rgb = out_rgb.at[lidx].add(lrows, mode="drop")
+        else:
+            hit = trace_fn(scene, r, active)
+        is_hit = hit.hit & active
+        steps = steps + jnp.where(active, hit.steps, 0)
+        segs = segs + active.astype(jnp.int32)
+
+        s = get_shading_data(scene, hit, r, fast=fast_shading)
+        sky = sample_sky(ray_d, config, scene)
+        emission = vwhere(is_hit, s.emission, sky)
+        if use_nee:
+            if hit.rows is not None:
+                pl = lights_mod.light_pdf_from_rows(hit.rows, r.d, hit.t)
+            else:
+                pl = lights_mod.light_pdf_of_hit(light_table, scene,
+                                                 hit.inst, hit.tri,
+                                                 r.d, hit.t)
+            pb = jnp.maximum(prev_pdf, 0.0)
+            w_mis = jnp.where(
+                (prev_pdf > 0.0) & is_hit & (pl > 0.0),
+                (pb * pb) / jnp.maximum(pb * pb + pl * pl, 1e-20), 1.0)
+            emission = emission * w_mis
+        radiance = vwhere(active, radiance + throughput * emission,
+                          radiance)
+
+        if use_nee:
+            (lr1, lr2), seed = rng.pcg2d(seed)
+            (lr3, _), seed = rng.pcg2d(seed)
+            ls = lights_mod.sample_light(light_table, s.position,
+                                         lr3, lr1, lr2)
+            cos_i = s.normal.dot(ls.wi)
+            shadow_o = s.position + s.normal * config.ray_eps
+            shadow_active = is_hit & (cos_i > 0.0) & \
+                jnp.isfinite(ls.pdf_solid)
+            if fuse_nee:
+                visibility = None  # resolves in the NEXT fused dispatch
+            elif config.traversal == Traversal.PALLAS:
+                from gdpathtracing_tpu.ops.intersect_pallas import \
+                    occluded_pallas
+                occluded = occluded_pallas(scene, Ray(shadow_o, ls.wi),
+                                           ls.dist * (1.0 - 1e-3),
+                                           shadow_active)
+                visibility = (~occluded).astype(jnp.float32)
+            else:
+                sh = trace_fn(scene, Ray(shadow_o, ls.wi), shadow_active)
+                visibility = (~(sh.t < ls.dist * (1.0 - 1e-3))
+                              ).astype(jnp.float32)
+            segs = segs + shadow_active.astype(jnp.int32)
+            f_l = brdf.eval_brdf(s, ls.wi)
+            pb_l = brdf.brdf_pdf(s, ls.wi)
+            pl_l = ls.pdf_solid
+            pl_ok = jnp.isfinite(pl_l) & (pl_l > 1e-12)
+            pl_safe = jnp.where(pl_ok, pl_l, 1.0)
+            w_l = (pl_safe * pl_safe) / jnp.maximum(
+                pl_safe * pl_safe + pb_l * pb_l, 1e-20)
+            scale_l = jnp.where(shadow_active & pl_ok,
+                                cos_i * w_l / pl_safe, 0.0)
+            if visibility is not None:
+                scale_l = scale_l * visibility
+            direct = throughput * f_l * ls.emission * scale_l
+            if scene.has_transmission:
+                direct = direct * (1.0 - s.transmission)
+            if fuse_nee:
+                new_p_sh_o, new_p_sh_d = shadow_o, ls.wi
+                new_p_sh_tmax = ls.dist * (1.0 - 1e-3)
+                new_p_sh_active = shadow_active
+                new_p_pend = direct
+            else:
+                radiance = vwhere(active, radiance + direct, radiance)
+
+        dist = (s.position - ray_o).length()
+        first = (bounce == 0) & is_hit
+        depth1 = jnp.where(first, dist, depth1)
+        normal1 = vwhere(first, s.normal, normal1)
+
+        (r1, r2), seed = rng.pcg2d(seed)
+        new_dir = brdf.sample_brdf(s, r1, r2)
+        pdf = brdf.brdf_pdf(s, new_dir)
+        lambert_in = s.normal.dot(new_dir)
+        f = brdf.eval_brdf(s, new_dir)
+        scale = jnp.where(pdf > 1e-12,
+                          lambert_in / jnp.maximum(pdf, 1e-12), 0.0)
+        mult = f * scale
+        survive = is_hit & (lambert_in > 0.0) & (pdf > 1e-12)
+        offset = s.normal * config.ray_eps
+        prev_pdf_val = pdf
+
+        if scene.has_transmission:
+            (r3, r4), seed = rng.pcg2d(seed)
+            pick_t = r3 < s.transmission
+            eta = jnp.where(hit.front, 1.0 / s.ior, s.ior)
+            fres = brdf.fresnel_dielectric(s.lambert_out, eta)
+            refr_dir, tir = brdf.refract(r.d, s.normal, eta)
+            refl_dir = reflect(r.d, s.normal)
+            do_reflect = (r4 < fres) | tir
+            delta_dir = vwhere(do_reflect, refl_dir, refr_dir)
+            new_dir = vwhere(pick_t, delta_dir, new_dir)
+            mult = vwhere(pick_t, s.albedo, mult)
+            survive = jnp.where(pick_t, is_hit, survive)
+            offset = vwhere(pick_t & ~do_reflect, -offset, offset)
+            prev_pdf_val = jnp.where(pick_t, -1.0, prev_pdf_val)
+
+        new_throughput = throughput * mult
+
+        if config.rr_start > 0:
+            (r5, _), seed = rng.pcg2d(seed)
+            lum = jnp.maximum(new_throughput.x,
+                              jnp.maximum(new_throughput.y,
+                                          new_throughput.z))
+            p = jnp.clip(lum, config.rr_min_p, 1.0)
+            do_rr = bounce >= config.rr_start
+            survive = survive & jnp.where(do_rr, r5 < p, True)
+            boost = jnp.where(do_rr, 1.0 / p, 1.0)
+            new_throughput = new_throughput * boost
+
+        new_o = s.position + offset
+        ray_o = vwhere(survive, new_o, ray_o)
+        ray_d = vwhere(survive, new_dir, ray_d)
+        throughput = vwhere(survive, new_throughput, throughput)
+        prev_pdf = jnp.where(survive, prev_pdf_val, -1.0)
+        bounce = bounce + active.astype(jnp.int32)
+        alive = active & survive & (bounce < config.bounces)
+
+        # ---- retire finished paths: two masked row scatters (radiance
+        # accumulates — a fused-NEE pending may still add its late direct
+        # term after retirement — AOVs are written once) ----
+        dead_now = active & ~alive
+        idx = jnp.where(dead_now, c["pid"], n_paths)
+        rgb_rows = jnp.stack([radiance.x, radiance.y, radiance.z], axis=1)
+        out_rgb = out_rgb.at[idx].add(rgb_rows, mode="drop")
+        aov_rows = jnp.stack([depth1, normal1.x, normal1.y, normal1.z,
+                              steps.astype(f32), segs.astype(f32)], axis=1)
+        out_aov = c["out_aov"].at[idx].set(aov_rows, mode="drop")
+
+        # ---- regenerate: refill dead lanes with the next pool paths ----
+        next_path = c["next_path"]
+        spawn_rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
+        new_id = next_path + spawn_rank
+        can = dead_now & (new_id < n_paths)
+        new_id = jnp.minimum(new_id, n_paths - 1)
+        ray_new, seed_new = spawn(new_id)
+
+        ray_o = vwhere(can, ray_new.o, ray_o)
+        ray_d = vwhere(can, ray_new.d, ray_d)
+        seed = (jnp.where(can, seed_new[0], seed[0]),
+                jnp.where(can, seed_new[1], seed[1]))
+        throughput = vwhere(can, one3, throughput)
+        radiance = vwhere(can, zero3, radiance)
+        normal1 = vwhere(can, zero3, normal1)
+        depth1 = jnp.where(can, f32(camera.far), depth1)
+        prev_pdf = jnp.where(can, -1.0, prev_pdf)
+        bounce = jnp.where(can, 0, bounce)
+        steps = jnp.where(can, 0, steps)
+        segs = jnp.where(can, 0, segs)
+        pid = jnp.where(can, new_id, c["pid"])
+        active = alive | can
+        next_path = jnp.minimum(
+            next_path + jnp.sum(dead_now.astype(jnp.int32)),
+            jnp.int32(n_paths))
+
+        new_c = dict(next_path=next_path, out_rgb=out_rgb, out_aov=out_aov,
+                     ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
+                     rad=radiance, pid=pid, bounce=bounce, active=active,
+                     prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
+                     steps=steps, segs=segs)
+        if fuse_nee:
+            # The pending survives the lane's regeneration (p_pid routes
+            # its resolution back to the retired path's pixel).
+            new_c.update(p_sh_o=new_p_sh_o, p_sh_d=new_p_sh_d,
+                         p_sh_tmax=new_p_sh_tmax,
+                         p_sh_active=new_p_sh_active, p_pend=new_p_pend,
+                         p_pid=c["pid"])
+        return new_c
+
+    final = jax.lax.while_loop(cond, body, init)
+    out_rgb, out_aov = final["out_rgb"], final["out_aov"]
+
+    if config.spp > 1:
+        rgb = out_rgb.reshape(config.spp, n_pix, 3).mean(axis=0)
+        a = out_aov.reshape(config.spp, n_pix, AOV_COLS)
+        depth = a[:, :, 0].min(axis=0)
+        normal = a[0, :, 1:4]
+        steps = a[:, :, 4].sum(axis=0)
+        segs = a[:, :, 5].sum(axis=0)
+    else:
+        rgb = out_rgb
+        depth = out_aov[:, 0]
+        normal = out_aov[:, 1:4]
+        steps = out_aov[:, 4]
+        segs = out_aov[:, 5]
+    return FrameAOVs(
+        radiance=rgb.reshape(h, w, 3),
+        depth=depth.reshape(h, w),
+        steps=steps.astype(jnp.int32).reshape(h, w),
+        segments=segs.astype(jnp.int32).reshape(h, w),
+        normal=normal.reshape(h, w, 3))

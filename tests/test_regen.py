@@ -1,0 +1,98 @@
+"""Path-regeneration frame loop vs the standard per-bounce integrator.
+
+Each path's RNG stream is keyed by (pixel, sample, frame) and every
+per-segment op matches render/integrator.py, so the regenerated frame
+must reproduce the standard frame exactly (BRUTE/UNIT backends; the
+PALLAS interpret-mode check allows visit-order tie-breaks, which do not
+occur on these scenes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdpathtracing_tpu.config import RenderConfig, Traversal
+from gdpathtracing_tpu.render.camera import Camera
+from gdpathtracing_tpu.render.renderer import render_radiance
+from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
+
+W, H = 40, 24
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_demo_scene(texture_resolution=8, sphere_detail=6,
+                            geometry="sphere")
+
+
+def _compare(scene, config, camera=None, frame=3):
+    camera = camera or demo_camera(W, H)
+    ref = render_radiance(scene, camera, config.replace(regen=False), frame)
+    got = render_radiance(scene, camera, config.replace(regen=True), frame)
+    np.testing.assert_allclose(np.asarray(got.radiance),
+                               np.asarray(ref.radiance), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(ref.depth), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.segments),
+                                  np.asarray(ref.segments))
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=1e-6)
+
+
+def test_regen_matches_brute(scene):
+    _compare(scene, RenderConfig(bounces=4, traversal=Traversal.BRUTE))
+
+
+def test_regen_small_wavefront(scene):
+    # Wavefront much smaller than the path pool: many regeneration rounds.
+    _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
+                                 tile_rays=256))
+
+
+def test_regen_nee(scene):
+    _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
+                                 nee=True))
+
+
+def test_regen_spp(scene):
+    _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
+                                 spp=2, tile_rays=512))
+
+
+def test_regen_rr(scene):
+    _compare(scene, RenderConfig(bounces=5, traversal=Traversal.BRUTE,
+                                 rr_start=2))
+
+
+def test_regen_pallas_interpret(scene):
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    ip._FORCE_INTERPRET = True
+    try:
+        _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                                     tile_rays=1024))
+    finally:
+        ip._FORCE_INTERPRET = False
+
+
+def test_regen_nee_fused_pallas(scene):
+    # PALLAS + NEE: both sides use the fused deferred-shadow path; regen
+    # resolves pendings across lane regeneration (late scatter-add).
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    ip._FORCE_INTERPRET = True
+    try:
+        _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                                     nee=True, tile_rays=1024))
+    finally:
+        ip._FORCE_INTERPRET = False
+
+
+def test_regen_steps_total(scene):
+    # steps is a per-path traversal-cost AOV: totals must match exactly on
+    # the brute backend (it reports a fixed per-trace count).
+    config = RenderConfig(bounces=3, traversal=Traversal.BRUTE)
+    camera = demo_camera(W, H)
+    ref = render_radiance(scene, camera, config.replace(regen=False), 1)
+    got = render_radiance(scene, camera, config.replace(regen=True), 1)
+    assert int(np.asarray(got.steps).sum()) == int(
+        np.asarray(ref.steps).sum())
