@@ -291,6 +291,35 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
 
         s = get_shading_data(scene, hit, r, fast=fast_shading)
         sky = sample_sky(ray_d, config, scene)
+        if config.soft_primary > 0.0:
+            # Differentiable primary-silhouette relaxation (SoftRas-style,
+            # BASELINE config 4's visibility-discontinuity term for the
+            # first hit): the winner's barycentric edge margin drives a
+            # coverage alpha that is 0 exactly ON the silhouette —
+            # continuous with the miss side — and saturates to 1 a few
+            # edge-widths inside. All surface terms of this bounce
+            # (emission pickup, NEE direct, path continuation) scale by
+            # alpha; the uncovered (1 - alpha) share takes the environment
+            # instead. Gradients of alpha flow through u/v to vertices,
+            # instance poses and the camera (the trace backends recompute
+            # u/v differentiably). Python-level gate: eps = 0 leaves the
+            # graph — and every golden — untouched.
+            # Margin over OPEN (mesh-boundary) edges only: interior seams
+            # (quad diagonals) are not silhouettes; a hit is always inside
+            # all three edges, so no interior gate is needed here.
+            eo = scene.tri_edge_open[hit.tri]  # (N, 3)
+            margin = jnp.minimum(
+                jnp.minimum(jnp.where(eo[:, 0] > 0, hit.u, 1.0),
+                            jnp.where(eo[:, 1] > 0, hit.v, 1.0)),
+                jnp.where(eo[:, 2] > 0, 1.0 - hit.u - hit.v, 1.0))
+            alpha = 2.0 * jax.nn.sigmoid(
+                jnp.maximum(margin, 0.0) / config.soft_primary) - 1.0
+            first_hit = (i == 0) & is_hit
+            radiance = vwhere(first_hit,
+                              radiance + throughput * sky * (1.0 - alpha),
+                              radiance)
+            a1 = jnp.where(first_hit, alpha, 1.0)
+            throughput = throughput * a1
         emission = vwhere(is_hit, s.emission, sky)
         if use_nee:
             # MIS weight for BRDF-sampled emitter pickup (camera rays and
@@ -329,6 +358,16 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
                 # w.r.t. blocker geometry) — intersect.occlusion_soft.
                 from gdpathtracing_tpu.render.intersect import occlusion_soft
                 visibility = occlusion_soft(
+                    scene, Ray(shadow_o, ls.wi), ls.dist * (1.0 - 1e-3),
+                    shadow_active, edge_eps=config.soft_shadows)
+            elif config.soft_shadows > 0.0 and \
+                    config.traversal == Traversal.PALLAS:
+                # Same estimator on the fast path: top-1-blocker kernel +
+                # differentiable coverage recompute (silhouette gradients
+                # through PALLAS — VERDICT r3 item 5a).
+                from gdpathtracing_tpu.ops.intersect_pallas import \
+                    soft_occluded_pallas
+                visibility = soft_occluded_pallas(
                     scene, Ray(shadow_o, ls.wi), ls.dist * (1.0 - 1e-3),
                     shadow_active, edge_eps=config.soft_shadows)
             elif config.traversal == Traversal.PALLAS:

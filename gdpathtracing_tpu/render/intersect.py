@@ -149,6 +149,12 @@ def occlusion_soft(scene: Scene, ray: Ray, t_max, active=None,
         #              visibility product double-count boundary triangles
     n_chunks = e // chunk
 
+    # Expanded per-triangle edge openness (Scene.tri_edge_open): only OPEN
+    # (mesh-boundary) edges soften; interior seams (a quad's diagonal, a
+    # box crease) stay hard, so a ray crossing a seam sees full coverage
+    # from the triangle it is inside instead of 2x sigmoid(0) light leak.
+    eo = scene.tri_edge_open[scene.isect_tri].T  # (3, E)
+
     o4 = jnp.stack([ray.o.x, ray.o.y, ray.o.z,
                     jnp.ones_like(ray.o.x)], axis=1)  # (N, 4)
     d4 = jnp.stack([ray.d.x, ray.d.y, ray.d.z,
@@ -159,6 +165,7 @@ def occlusion_soft(scene: Scene, ray: Ray, t_max, active=None,
         mu = jax.lax.dynamic_slice(scene.isect_mu, (0, sl), (4, chunk))
         mv = jax.lax.dynamic_slice(scene.isect_mv, (0, sl), (4, chunk))
         mw = jax.lax.dynamic_slice(scene.isect_mw, (0, sl), (4, chunk))
+        eoc = jax.lax.dynamic_slice(eo, (0, sl), (3, chunk))
 
         def mm(a, m):
             return jax.lax.dot_general(
@@ -174,10 +181,21 @@ def occlusion_soft(scene: Scene, ray: Ray, t_max, active=None,
         u = u_o + t * u_d
         v = v_o + t * v_d
         # Signed inside-distance in barycentric coordinates: positive
-        # inside the triangle, negative outside; zero ON an edge.
-        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
-        cov = jax.nn.sigmoid(margin / edge_eps)
-        in_t = wd_ok & (t > 1e-6) & (t < t_max[:, None])
+        # inside the triangle, negative outside; zero ON an edge. Only
+        # OPEN edges soften — interior-edge distances gate hard instead
+        # (crossing a seam hands coverage to the neighbor triangle).
+        w_ = 1.0 - u - v
+        ou, ov, ow = eoc[0][None, :], eoc[1][None, :], eoc[2][None, :]
+        m_open = jnp.minimum(
+            jnp.minimum(jnp.where(ou > 0, u, 1.0),
+                        jnp.where(ov > 0, v, 1.0)),
+            jnp.where(ow > 0, w_, 1.0))
+        int_ok = jnp.minimum(
+            jnp.minimum(jnp.where(ou > 0, 1.0, u),
+                        jnp.where(ov > 0, 1.0, v)),
+            jnp.where(ow > 0, 1.0, w_)) > 0.0
+        cov = jax.nn.sigmoid(m_open / edge_eps)
+        in_t = wd_ok & (t > 1e-6) & (t < t_max[:, None]) & int_ok
         cov = jnp.where(in_t, cov, 0.0)
         vis = vis * jnp.prod(1.0 - cov, axis=1)
         return vis, None

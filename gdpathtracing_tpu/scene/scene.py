@@ -58,6 +58,16 @@ class Scene:
     tri_normal: jnp.ndarray
     tri_uv: jnp.ndarray
     tri_slot: jnp.ndarray
+    # Per-triangle edge OPENNESS (T, 3) f32 {0, 1}, ordered to match the
+    # unit-space barycentric margins: col 0 ↔ u = 0 (edge v0-v2), col 1 ↔
+    # v = 0 (v0-v1), col 2 ↔ 1-u-v = 0 (v1-v2). An edge is open (1) when
+    # no other triangle of the same mesh shares its vertex positions.
+    # The soft-visibility estimators (occlusion_soft, soft_occluded_pallas,
+    # soft_primary) soften ONLY open edges: interior seams (e.g. a quad's
+    # diagonal) stay hard, so they neither leak light through blockers nor
+    # blend silhouettes mid-surface. Transform-invariant (object-space
+    # topology), so dynamic instance updates need no rebuild.
+    tri_edge_open: jnp.ndarray
     node_min: jnp.ndarray
     node_max: jnp.ndarray
     node_left: jnp.ndarray
@@ -207,6 +217,29 @@ def build_shade_rows(tri_normal, tri_uv, tri_slot, inst_materials,
         uv.reshape(e, 6),
         mat.reshape(e, 1).astype(xp.float32),
     ], axis=1).astype(xp.float32)
+
+
+def _edge_openness(pos: np.ndarray) -> np.ndarray:
+    """(c, 3, 3) object-space triangle positions of ONE mesh → (c, 3) f32
+    openness flags per barycentric edge (Scene.tri_edge_open layout).
+    Vertices are merged by exact rounded position (meshes duplicate
+    vertices per surface/normal split; positions still coincide)."""
+    c = pos.shape[0]
+    if c == 0:
+        return np.zeros((0, 3), np.float32)
+    flat = np.ascontiguousarray(pos.round(5).astype(np.float32)
+                                ).reshape(-1, 3)
+    _, vid = np.unique(flat.view([("", np.float32)] * 3),
+                       return_inverse=True)
+    vid = vid.reshape(c, 3).astype(np.int64)
+    # Edge per margin: u=0 ↔ (v0, v2); v=0 ↔ (v0, v1); w=0 ↔ (v1, v2).
+    e_u = np.sort(vid[:, [0, 2]], axis=1)
+    e_v = np.sort(vid[:, [0, 1]], axis=1)
+    e_w = np.sort(vid[:, [1, 2]], axis=1)
+    alle = np.concatenate([e_u, e_v, e_w], axis=0)      # (3c, 2)
+    keys = alle[:, 0] * (vid.max() + 1) + alle[:, 1]
+    _, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+    return (cnt[inv] < 2).astype(np.float32).reshape(3, c).T
 
 
 def _build_isect_arrays(tri_pos: np.ndarray, inst_transform: np.ndarray,
@@ -489,11 +522,18 @@ class SceneBuilder:
         else:
             isect_light = np.full(e_pad, -1, np.int32)
 
+        tri_edge_open = np.ones((blas.tri_pos.shape[0], 3), np.float32)
+        for mid in used_meshes:
+            first, count = tri_range[mid]
+            tri_edge_open[first:first + count] = _edge_openness(
+                blas.tri_pos[first:first + count])
+
         return Scene(
             tri_pos=jnp.asarray(blas.tri_pos),
             tri_normal=jnp.asarray(blas.tri_normal),
             tri_uv=jnp.asarray(blas.tri_uv),
             tri_slot=jnp.asarray(blas.tri_slot),
+            tri_edge_open=jnp.asarray(tri_edge_open),
             node_min=jnp.asarray(blas.node_min),
             node_max=jnp.asarray(blas.node_max),
             node_left=jnp.asarray(blas.node_left),
