@@ -212,6 +212,65 @@ def stage_kernels(scene, camera):
     bench_scan("occluded_pallas shadow rays 15%-live (256k)", occ)
 
 
+def stage_frame2(scene, camera):
+    """Round-4 mystery: an isolated 5-bounce 256k path_trace costs ~12 ms,
+    but the 8-tile 1080p frame costs ~430 ms — 4x the sum of its parts.
+    Decompose: full render_radiance vs raw path_trace at several tile
+    shapes, and the regen frame."""
+    from gdpathtracing_tpu.render.renderer import render_radiance
+    cfg = RenderConfig(bounces=5, spp=1, traversal=Traversal.PALLAS)
+
+    def frame(c, config):
+        aovs = render_radiance(scene, camera, config,
+                               jnp.uint32(3) + (c * 1e-12).astype(jnp.uint32))
+        return (aovs.radiance.sum() + c * 1e-30
+                + aovs.segments.sum().astype(jnp.float32) * 1e-9)
+
+    bench_scan("render_radiance tiles=256k (1080p)",
+               lambda c: frame(c, cfg), k=2)
+    bench_scan("render_radiance tiles=2.07M (1 tile)",
+               lambda c: frame(c, cfg.replace(tile_rays=2073600)), k=2)
+
+    ray, seed = camera_rays(scene, camera, cfg, n=NFULL)
+
+    def pt_full(c):
+        r = Ray(Vec3(ray.o.x + c * 1e-12, ray.o.y, ray.o.z), ray.d)
+        res = path_trace(scene, r, seed, cfg, far=camera.far)
+        return res.radiance.x.sum() + res.segments.sum().astype(
+            jnp.float32) * 1e-9
+
+    bench_scan("path_trace 5b 2.07M single call", pt_full, k=2)
+
+    ray8, seed8 = camera_rays(scene, camera, cfg, n=TILE * 8)
+
+    def pt_8x(c):
+        tot = c * 1e-30
+        for tk in range(8):
+            sl = slice(tk * TILE, (tk + 1) * TILE)
+            r = Ray(Vec3(ray8.o.x[sl] + tot * 1e-12, ray8.o.y[sl],
+                         ray8.o.z[sl]), Vec3(ray8.d.x[sl], ray8.d.y[sl],
+                                             ray8.d.z[sl]))
+            res = path_trace(scene, r, (seed8[0][sl], seed8[1][sl]), cfg,
+                             far=camera.far)
+            tot = tot + res.radiance.x.sum()
+        return tot
+
+    bench_scan("path_trace 5b 8x256k chained", pt_8x, k=2)
+
+    def pt_nocompact(c):
+        r = Ray(Vec3(ray8.o.x[:TILE] + c * 1e-12, ray8.o.y[:TILE],
+                     ray8.o.z[:TILE]),
+                Vec3(ray8.d.x[:TILE], ray8.d.y[:TILE], ray8.d.z[:TILE]))
+        res = path_trace(scene, r, (seed8[0][:TILE], seed8[1][:TILE]),
+                         cfg.replace(compact_rays=False), far=camera.far)
+        return res.radiance.x.sum()
+
+    bench_scan("path_trace 5b 256k compact OFF", pt_nocompact, k=4)
+
+    bench_scan("render_radiance REGEN (1080p)",
+               lambda c: frame(c, cfg.replace(regen=True)), k=2)
+
+
 def stage_micro(scene, camera):
     n = NFULL
     r = np.random.default_rng(0)
@@ -243,6 +302,49 @@ def stage_micro(scene, camera):
                .astype(jnp.float32))
 
 
+def stage_micro2(scene, camera):
+    """Shapes for the regen retire/compaction redesign: packed-row gather
+    widths (the (N,48) gather hung the compiler once — bracket the safe
+    width), scalar-scatter index-count scaling, and the compacted-retire
+    pattern (scatter lane ids by rank, gather rows, scatter columns)."""
+    r = np.random.default_rng(0)
+    for n, w in ((NFULL, 16), (NFULL, 24), (TILE, 24)):
+        perm = jnp.asarray(r.permutation(n).astype(np.int32))
+        rows = jnp.asarray(r.random((n, w), dtype=np.float32))
+        bench_scan(f"row gather ({n//1000}k,{w})[perm]",
+                   lambda c, rows=rows, perm=perm: (rows + c)[perm].sum())
+    for n in (TILE, TILE // 4):
+        perm = jnp.asarray(r.permutation(NFULL)[:n].astype(np.int32))
+        x = jnp.asarray(r.random(n, dtype=np.float32))
+        bench_scan(f"scalar scatter {n//1000}k idx into 2.07M",
+                   lambda c, x=x, perm=perm: jnp.zeros(NFULL, jnp.float32)
+                   .at[perm].set(x + c).sum())
+
+    # Compacted retire: ~1/3 of 256k lanes retire; build the dead list by
+    # rank (1 scalar scatter), row-gather their 9-col rows, then 9 scalar
+    # scatters at the compacted index count.
+    nw, budget = TILE, TILE // 2
+    dead = jnp.asarray(r.random(nw) < 0.33)
+    pid = jnp.asarray(r.permutation(NFULL)[:nw].astype(np.int32))
+    rows9 = jnp.asarray(r.random((nw, 9), dtype=np.float32))
+
+    def retire(c):
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        slot = jnp.where(dead & (rank < budget), rank, budget)
+        lanes = jnp.zeros(budget + 1, jnp.int32).at[slot].set(
+            jnp.arange(nw, dtype=jnp.int32), mode="drop")[:budget]
+        sel_rows = (rows9 + c)[lanes]          # (budget, 9) row gather
+        sel_pid = pid[lanes]
+        out = jnp.zeros((NFULL, 9), jnp.float32)
+        tot = c * 1e-30
+        for col in range(9):
+            tot = tot + out[:, col].at[sel_pid].set(
+                sel_rows[:, col]).sum()
+        return tot
+
+    bench_scan("compacted retire (256k lanes, 9 cols)", retire)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
     scene, camera = setup()
@@ -250,8 +352,12 @@ def main():
         stage_frame(scene, camera)
     if stage in ("kernels", "all"):
         stage_kernels(scene, camera)
+    if stage in ("frame2", "all"):
+        stage_frame2(scene, camera)
     if stage in ("micro", "all"):
         stage_micro(scene, camera)
+    if stage in ("micro2", "all"):
+        stage_micro2(scene, camera)
     print("done", flush=True)
 
 

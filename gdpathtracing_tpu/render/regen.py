@@ -19,9 +19,16 @@ frame (main.glsl:372-436).
 Why no gathers: a fresh camera ray is pure arithmetic of its path id
 (pixel = id % n_pix, sample = id // n_pix, RNG seed = hash(px, py,
 frame·spp + sample)) — dead lanes compute their replacement in place.
-Finished paths leave via ONE masked row scatter per iteration
-(per-row cost is ~5 ns, measured — examples/profile_r4.log — unlike the
-27 ns/element scattered gathers that killed per-ray sorting).
+
+Why no in-loop scatters either: TPU row SCATTERS cost ~60 ns/row while
+row GATHERS and appends are ~5 ns/row (examples/tpu_campaign_r4.log
+micro stage — scattering results per iteration cost the first regen
+build ~40% of the frame). Finished paths are therefore APPENDED to a
+dense retirement log: each iteration compacts its retired rows to the
+front of the lane block (one 1-column rank scatter + one row gather)
+and writes the block at the log cursor with dynamic_update_slice —
+pure sequential bandwidth. One scalar scatter (pid → log position) and
+one big row gather reorder the log into path order at frame end.
 
 Transport: per-path RNG streams and per-segment math are exactly the
 standard integrator's (render/integrator.py body), so each path's
@@ -50,7 +57,8 @@ from gdpathtracing_tpu.render.sky import sample_sky
 from gdpathtracing_tpu.render.types import Ray
 from gdpathtracing_tpu.scene.scene import Scene
 
-AOV_COLS = 6  # depth | nx ny nz | steps | segments
+LOG_COLS = 10  # pid | r g b | depth | nx ny nz | steps | segments
+#                (pid rides as f32 — exact below 2^24 paths; guarded)
 
 
 def regen_supported(scene: Scene, config: RenderConfig) -> bool:
@@ -71,6 +79,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     w, h = camera.width, camera.height
     n_pix = w * h
     n_paths = n_pix * config.spp
+    assert n_paths < 2 ** 24, "pid rides the retirement log as f32"
     nw = min(config.tile_rays, -(-n_paths // 256) * 256)
     frame_index = jnp.asarray(frame_index, dtype=jnp.uint32)
     f32 = jnp.float32
@@ -121,8 +130,8 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
     init = dict(
         next_path=jnp.int32(min(nw, n_paths)),
-        out_rgb=jnp.zeros((n_paths, 3), f32),
-        out_aov=jnp.zeros((n_paths, AOV_COLS), f32),
+        log=jnp.zeros((n_paths + nw, LOG_COLS), f32),
+        log_ptr=jnp.int32(0),
         ray_o=ray0.o, ray_d=ray0.d, seed=seed0,
         tp=one3, rad=zero3,
         pid=lane0, bounce=jnp.zeros(nw, jnp.int32),
@@ -132,15 +141,38 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         steps=jnp.zeros(nw, jnp.int32), segs=jnp.zeros(nw, jnp.int32),
     )
     if fuse_nee:
+        # Deferred retirement: a path that dies with a pending shadow
+        # parks its finished row in p_row for ONE iteration so the
+        # resolved direct term joins it before it is logged.
         init.update(p_sh_o=zero3, p_sh_d=zero3, p_sh_tmax=zero,
                     p_sh_active=jnp.zeros(nw, bool), p_pend=zero3,
-                    p_pid=lane0 * 0)
+                    p_pid=lane0 * 0,
+                    p_row=jnp.zeros((nw, LOG_COLS), f32),
+                    p_row_active=jnp.zeros(nw, bool))
 
     def cond(c):
         more = (c["next_path"] < n_paths) | jnp.any(c["active"])
-        if fuse_nee:  # drain the last posted shadow queries
-            more = more | jnp.any(c["p_sh_active"])
+        if fuse_nee:  # drain the last shadow queries + deferred rows
+            more = more | jnp.any(c["p_sh_active"]) \
+                | jnp.any(c["p_row_active"])
         return more
+
+    lane_iota = jnp.arange(nw, dtype=jnp.int32)
+
+    def append(log, log_ptr, mask, rows):
+        """Append `rows[mask]` to the dense retirement log: retired-first
+        lane permutation (1-column rank scatter + row gather), then one
+        dynamic_update_slice at the cursor. Rows past the retired count
+        are live-lane garbage overwritten by the next append (the log has
+        nw rows of slack past n_paths for the final block's overhang)."""
+        mask_i = mask.astype(jnp.int32)
+        rank = jnp.cumsum(mask_i)
+        nd = rank[-1]
+        alive_rank = jnp.cumsum(1 - mask_i)
+        dest = jnp.where(mask, rank, nd + alive_rank) - 1
+        lanes = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
+        log = jax.lax.dynamic_update_slice(log, rows[lanes], (log_ptr, 0))
+        return log, log_ptr + nd
 
     def body(c):
         ray_o, ray_d = c["ray_o"], c["ray_d"]
@@ -152,7 +184,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
         # ---- one path segment: the standard integrator body ----
         r = Ray(ray_o, ray_d)
-        out_rgb = c["out_rgb"]
+        log, log_ptr = c["log"], c["log_ptr"]
         if fuse_nee:
             # Phase A closest-hit + phase B any-hit for the PREVIOUS
             # segment's shadow queries, one fused dispatch.
@@ -163,16 +195,19 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             contrib = c["p_pend"] * vis_prev
             # The lane still owns the posting path only if it is ACTIVE
             # with the same pid (pids are pool ordinals, never reused).
-            # A retired path's lane may keep its pid when the pool is
-            # dry — `active` distinguishes that case.
             own = c["p_sh_active"] & (c["p_pid"] == c["pid"]) & active
             radiance = vwhere(own, radiance + contrib, radiance)
-            # Pending of a path retired since it posted the query: its
-            # final radiance term goes straight to the output pixel.
-            late = c["p_sh_active"] & ~own
-            lidx = jnp.where(late, c["p_pid"], n_paths)
-            lrows = jnp.stack([contrib.x, contrib.y, contrib.z], axis=1)
-            out_rgb = out_rgb.at[lidx].add(lrows, mode="drop")
+            # A path that retired right after posting the query parked
+            # its row in p_row (deferred retirement): the resolved direct
+            # term is that row's final radiance contribution.
+            late = (c["p_sh_active"] & ~own)[:, None]
+            add = jnp.concatenate(
+                [jnp.zeros((nw, 1), f32),
+                 jnp.stack([contrib.x, contrib.y, contrib.z], axis=1),
+                 jnp.zeros((nw, LOG_COLS - 4), f32)], axis=1)
+            p_row = c["p_row"] + jnp.where(late, add, 0.0)
+            # Deferred rows are now complete — log them, free the slots.
+            log, log_ptr = append(log, log_ptr, c["p_row_active"], p_row)
         else:
             hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
@@ -295,16 +330,19 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         bounce = bounce + active.astype(jnp.int32)
         alive = active & survive & (bounce < config.bounces)
 
-        # ---- retire finished paths: two masked row scatters (radiance
-        # accumulates — a fused-NEE pending may still add its late direct
-        # term after retirement — AOVs are written once) ----
+        # ---- retire finished paths ----
         dead_now = active & ~alive
-        idx = jnp.where(dead_now, c["pid"], n_paths)
-        rgb_rows = jnp.stack([radiance.x, radiance.y, radiance.z], axis=1)
-        out_rgb = out_rgb.at[idx].add(rgb_rows, mode="drop")
-        aov_rows = jnp.stack([depth1, normal1.x, normal1.y, normal1.z,
-                              steps.astype(f32), segs.astype(f32)], axis=1)
-        out_aov = c["out_aov"].at[idx].set(aov_rows, mode="drop")
+        rows = jnp.stack([c["pid"].astype(f32),
+                          radiance.x, radiance.y, radiance.z, depth1,
+                          normal1.x, normal1.y, normal1.z,
+                          steps.astype(f32), segs.astype(f32)], axis=1)
+        if fuse_nee:
+            # Defer one iteration: the row's last direct-light term
+            # resolves in the NEXT fused dispatch (p_sh slots).
+            new_p_row = jnp.where(dead_now[:, None], rows, p_row)
+            new_p_row_active = dead_now
+        else:
+            log, log_ptr = append(log, log_ptr, dead_now, rows)
 
         # ---- regenerate: refill dead lanes with the next pool paths ----
         next_path = c["next_path"]
@@ -332,36 +370,44 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             next_path + jnp.sum(dead_now.astype(jnp.int32)),
             jnp.int32(n_paths))
 
-        new_c = dict(next_path=next_path, out_rgb=out_rgb, out_aov=out_aov,
+        new_c = dict(next_path=next_path, log=log, log_ptr=log_ptr,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
                      prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
                      steps=steps, segs=segs)
         if fuse_nee:
-            # The pending survives the lane's regeneration (p_pid routes
-            # its resolution back to the retired path's pixel).
+            # The pending + deferred row survive the lane's regeneration
+            # (both belong to the retired path; the lane is already
+            # tracing its replacement).
             new_c.update(p_sh_o=new_p_sh_o, p_sh_d=new_p_sh_d,
                          p_sh_tmax=new_p_sh_tmax,
                          p_sh_active=new_p_sh_active, p_pend=new_p_pend,
-                         p_pid=c["pid"])
+                         p_pid=c["pid"], p_row=new_p_row,
+                         p_row_active=new_p_row_active)
         return new_c
 
     final = jax.lax.while_loop(cond, body, init)
-    out_rgb, out_aov = final["out_rgb"], final["out_aov"]
+    # Reorder the retirement log into path order: ONE scalar scatter
+    # builds the pid -> log-position map, ONE row gather applies it.
+    log = final["log"][:n_paths]
+    pid_log = log[:, 0].astype(jnp.int32)
+    inv = jnp.zeros(n_paths, jnp.int32).at[pid_log].set(
+        jnp.arange(n_paths, dtype=jnp.int32))
+    out = log[inv]  # (n_paths, LOG_COLS)
 
     if config.spp > 1:
-        rgb = out_rgb.reshape(config.spp, n_pix, 3).mean(axis=0)
-        a = out_aov.reshape(config.spp, n_pix, AOV_COLS)
-        depth = a[:, :, 0].min(axis=0)
-        normal = a[0, :, 1:4]
-        steps = a[:, :, 4].sum(axis=0)
-        segs = a[:, :, 5].sum(axis=0)
+        o = out.reshape(config.spp, n_pix, LOG_COLS)
+        rgb = o[:, :, 1:4].mean(axis=0)
+        depth = o[:, :, 4].min(axis=0)
+        normal = o[0, :, 5:8]
+        steps = o[:, :, 8].sum(axis=0)
+        segs = o[:, :, 9].sum(axis=0)
     else:
-        rgb = out_rgb
-        depth = out_aov[:, 0]
-        normal = out_aov[:, 1:4]
-        steps = out_aov[:, 4]
-        segs = out_aov[:, 5]
+        rgb = out[:, 1:4]
+        depth = out[:, 4]
+        normal = out[:, 5:8]
+        steps = out[:, 8]
+        segs = out[:, 9]
     return FrameAOVs(
         radiance=rgb.reshape(h, w, 3),
         depth=depth.reshape(h, w),
