@@ -156,8 +156,12 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     # practical case, not an absolute guarantee).
     sort_rays = config.sort_rays
     if sort_rays is None:
+        # Threshold from measured endpoints (docs/STATUS.md decision
+        # table): sort LOSES on 6-chunk (demo) and 35-chunk (mid sphere
+        # grid, 0.477 vs 0.582 Mrays/s — round-4 campaign) scenes and
+        # WINS 1.58x on the 412-chunk grid; 128 splits the open interval.
         sort_rays = (config.traversal == Traversal.PALLAS
-                     and scene.isect_mu.shape[1] > 16 * 256)
+                     and scene.isect_mu.shape[1] > 128 * 256)
     # Survivor compaction WITHOUT the Morton sort (VERDICT r2 item 3,
     # reworked round 3 at GROUP granularity — see the body below): stable
     # partition of 128-ray groups by any-live — survivors keep their

@@ -150,6 +150,15 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                     p_row=jnp.zeros((nw, LOG_COLS), f32),
                     p_row_active=jnp.zeros(nw, bool))
 
+    # Tail-coherent spawning: permute the lane state survivors-first each
+    # iteration (packed-row gathers — ~5 ns/row, unlike the per-element
+    # gathers that made per-ray reordering look impossible in round 3),
+    # so freshly spawned camera paths fill CONTIGUOUS tail lanes. Fresh
+    # blocks then trace at the coherent-camera rate (~7 ns/segment)
+    # instead of being scattered into incoherent mixed blocks
+    # (~38 ns/segment) — and camera segments are ~74% of the frame.
+    compact_lanes = config.compact_rays is not False
+
     def cond(c):
         more = (c["next_path"] < n_paths) | jnp.any(c["active"])
         if fuse_nee:  # drain the last shadow queries + deferred rows
@@ -344,11 +353,62 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         else:
             log, log_ptr = append(log, log_ptr, dead_now, rows)
 
-        # ---- regenerate: refill dead lanes with the next pool paths ----
+        # ---- survivors-first lane compaction (tail-coherent spawning) ----
+        pid = c["pid"]
+        if compact_lanes:
+            alive_i = alive.astype(jnp.int32)
+            ra = jnp.cumsum(alive_i)
+            n_alive = ra[-1]
+            rd = jnp.cumsum(1 - alive_i)
+            dest = jnp.where(alive, ra, n_alive + rd) - 1
+            perm = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
+            bc = jax.lax.bitcast_convert_type
+            fm = jnp.stack([ray_o.x, ray_o.y, ray_o.z,
+                            ray_d.x, ray_d.y, ray_d.z,
+                            throughput.x, throughput.y, throughput.z,
+                            radiance.x, radiance.y, radiance.z,
+                            prev_pdf, depth1,
+                            normal1.x, normal1.y, normal1.z], axis=1)[perm]
+            icols = [bc(seed[0], jnp.int32), bc(seed[1], jnp.int32),
+                     pid, bounce, steps, segs]
+            if fuse_nee:
+                icols += [new_p_sh_active.astype(jnp.int32),
+                          new_p_row_active.astype(jnp.int32), c["pid"]]
+            im = jnp.stack(icols, axis=1)[perm]
+            ray_o = Vec3(fm[:, 0], fm[:, 1], fm[:, 2])
+            ray_d = Vec3(fm[:, 3], fm[:, 4], fm[:, 5])
+            throughput = Vec3(fm[:, 6], fm[:, 7], fm[:, 8])
+            radiance = Vec3(fm[:, 9], fm[:, 10], fm[:, 11])
+            prev_pdf, depth1 = fm[:, 12], fm[:, 13]
+            normal1 = Vec3(fm[:, 14], fm[:, 15], fm[:, 16])
+            seed = (bc(im[:, 0], jnp.uint32), bc(im[:, 1], jnp.uint32))
+            pid, bounce = im[:, 2], im[:, 3]
+            steps, segs = im[:, 4], im[:, 5]
+            alive = lane_iota < n_alive
+            if fuse_nee:
+                pfm = jnp.stack([new_p_sh_o.x, new_p_sh_o.y, new_p_sh_o.z,
+                                 new_p_sh_d.x, new_p_sh_d.y, new_p_sh_d.z,
+                                 new_p_sh_tmax, new_p_pend.x, new_p_pend.y,
+                                 new_p_pend.z], axis=1)[perm]
+                new_p_sh_o = Vec3(pfm[:, 0], pfm[:, 1], pfm[:, 2])
+                new_p_sh_d = Vec3(pfm[:, 3], pfm[:, 4], pfm[:, 5])
+                new_p_sh_tmax = pfm[:, 6]
+                new_p_pend = Vec3(pfm[:, 7], pfm[:, 8], pfm[:, 9])
+                new_p_sh_active = im[:, 6].astype(bool)
+                new_p_row_active = im[:, 7].astype(bool)
+                new_p_pid = im[:, 8]
+                new_p_row = new_p_row[perm]
+        elif fuse_nee:
+            new_p_pid = c["pid"]
+
+        # ---- regenerate: refill dead lanes with the next pool paths
+        # (post-compaction the dead are the contiguous tail, so fresh
+        # consecutive-pixel paths form coherent blocks) ----
         next_path = c["next_path"]
-        spawn_rank = jnp.cumsum(dead_now.astype(jnp.int32)) - 1
+        dead = ~alive
+        spawn_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         new_id = next_path + spawn_rank
-        can = dead_now & (new_id < n_paths)
+        can = dead & (new_id < n_paths)
         new_id = jnp.minimum(new_id, n_paths - 1)
         ray_new, seed_new = spawn(new_id)
 
@@ -364,10 +424,10 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         bounce = jnp.where(can, 0, bounce)
         steps = jnp.where(can, 0, steps)
         segs = jnp.where(can, 0, segs)
-        pid = jnp.where(can, new_id, c["pid"])
+        pid = jnp.where(can, new_id, pid)
         active = alive | can
         next_path = jnp.minimum(
-            next_path + jnp.sum(dead_now.astype(jnp.int32)),
+            next_path + jnp.sum(dead.astype(jnp.int32)),
             jnp.int32(n_paths))
 
         new_c = dict(next_path=next_path, log=log, log_ptr=log_ptr,
@@ -382,7 +442,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             new_c.update(p_sh_o=new_p_sh_o, p_sh_d=new_p_sh_d,
                          p_sh_tmax=new_p_sh_tmax,
                          p_sh_active=new_p_sh_active, p_pend=new_p_pend,
-                         p_pid=c["pid"], p_row=new_p_row,
+                         p_pid=new_p_pid, p_row=new_p_row,
                          p_row_active=new_p_row_active)
         return new_c
 

@@ -87,6 +87,24 @@ def test_regen_nee_fused_pallas(scene):
         ip._FORCE_INTERPRET = False
 
 
+def test_regen_no_lane_compaction(scene):
+    # compact_rays=False disables the survivors-first lane permutation;
+    # transport must be identical either way.
+    _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
+                                 compact_rays=False, tile_rays=512))
+
+
+def test_regen_nee_fused_no_compaction(scene):
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    ip._FORCE_INTERPRET = True
+    try:
+        _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                                     nee=True, compact_rays=False,
+                                     tile_rays=1024))
+    finally:
+        ip._FORCE_INTERPRET = False
+
+
 def test_regen_steps_total(scene):
     # steps is a per-path traversal-cost AOV: totals must match exactly on
     # the brute backend (it reports a fixed per-trace count).
