@@ -345,6 +345,45 @@ def stage_micro2(scene, camera):
     bench_scan("compacted retire (256k lanes, 9 cols)", retire)
 
 
+def stage_bwd(scene, camera):
+    """Decompose the backward frame (round 3: 1638 ms fwd+bwd vs 430
+    primal): diff-mode forward-only vs value_and_grad — separates the
+    differentiable-recompute forward overhead from the reverse pass."""
+    from gdpathtracing_tpu.diff.inverse import image_mse, replace_albedo
+    from gdpathtracing_tpu.render.renderer import render_radiance
+    cfg = RenderConfig(bounces=5, spp=1, traversal=Traversal.PALLAS,
+                       differentiable=True)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    def loss(albedo, f):
+        aovs = render_radiance(replace_albedo(scene, albedo), camera,
+                               cfg, f)
+        return image_mse(aovs.radiance, target)
+
+    def fwd_only(c):
+        albedo = scene.mat_albedo + c * 1e-30
+        return loss(albedo, jnp.uint32(3)) + c * 1e-30
+
+    bench_scan("diff-mode forward only (1080p loss)", fwd_only, k=2)
+
+    def fwd_bwd(c):
+        albedo = scene.mat_albedo + c * 1e-30
+        l, g = jax.value_and_grad(loss)(albedo, jnp.uint32(3))
+        return l + g.sum() * 1e-6 + c * 1e-30
+
+    bench_scan("value_and_grad (1080p loss)", fwd_bwd, k=2)
+
+    # Non-diff forward at the same shapes for reference.
+    cfg2 = cfg.replace(differentiable=False)
+
+    def fwd_plain(c):
+        aovs = render_radiance(scene, camera, cfg2,
+                               jnp.uint32(3) + (c * 1e-12).astype(jnp.uint32))
+        return aovs.radiance.sum() + c * 1e-30
+
+    bench_scan("plain forward (same harness)", fwd_plain, k=2)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
     scene, camera = setup()
@@ -358,6 +397,8 @@ def main():
         stage_micro(scene, camera)
     if stage in ("micro2", "all"):
         stage_micro2(scene, camera)
+    if stage == "bwd":  # heavy compile — run explicitly
+        stage_bwd(scene, camera)
     print("done", flush=True)
 
 

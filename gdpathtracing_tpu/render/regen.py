@@ -159,6 +159,40 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     # (~38 ns/segment) — and camera segments are ~74% of the frame.
     compact_lanes = config.compact_rays is not False
 
+    # Large (superchunk) scenes: the permutation key upgrades from
+    # survivors-first to Morton-cell-of-origin × direction-octant (dead
+    # last) — the integrator's per-bounce sort, but on an ALWAYS-DENSE
+    # wavefront, which is the best case for the per-block superchunk
+    # culling. Same auto heuristic as the standard loop (>128 chunks).
+    sort_lanes = config.sort_rays
+    if sort_lanes is None:
+        sort_lanes = (config.traversal == Traversal.PALLAS
+                      and scene.isect_mu.shape[1] > 128 * 256)
+    sort_lanes = bool(sort_lanes) and compact_lanes
+    if sort_lanes:
+        cb = scene.isect_chunk_bounds
+        cell_lo = cb[0:3].min(axis=1)
+        cell_span = jnp.maximum(cb[3:6].max(axis=1) - cell_lo, 1e-6)
+
+    def lane_sort_key(o, d, alive):
+        """Morton(origin cell, 8^3) * 8 + octant(direction); dead last
+        (render/integrator.py's per-bounce key)."""
+        def q3(x, lo, span):
+            return jnp.clip(((x - lo) / span * 8.0).astype(jnp.int32),
+                            0, 7)
+        qx = q3(o.x, cell_lo[0], cell_span[0])
+        qy = q3(o.y, cell_lo[1], cell_span[1])
+        qz = q3(o.z, cell_lo[2], cell_span[2])
+        cell = jnp.zeros_like(qx)
+        for b in range(3):
+            cell = cell | (((qx >> b) & 1) << (3 * b + 2)) \
+                | (((qy >> b) & 1) << (3 * b + 1)) \
+                | (((qz >> b) & 1) << (3 * b))
+        octant = ((d.x > 0.0).astype(jnp.int32) * 4
+                  + (d.y > 0.0).astype(jnp.int32) * 2
+                  + (d.z > 0.0).astype(jnp.int32))
+        return jnp.where(alive, cell * 8 + octant, 1 << 14)
+
     def cond(c):
         more = (c["next_path"] < n_paths) | jnp.any(c["active"])
         if fuse_nee:  # drain the last shadow queries + deferred rows
@@ -357,11 +391,15 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         pid = c["pid"]
         if compact_lanes:
             alive_i = alive.astype(jnp.int32)
-            ra = jnp.cumsum(alive_i)
-            n_alive = ra[-1]
-            rd = jnp.cumsum(1 - alive_i)
-            dest = jnp.where(alive, ra, n_alive + rd) - 1
-            perm = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
+            n_alive = jnp.sum(alive_i)
+            if sort_lanes:
+                key = lane_sort_key(ray_o, ray_d, alive)
+                perm = jnp.argsort(key, stable=True)
+            else:
+                ra = jnp.cumsum(alive_i)
+                rd = jnp.cumsum(1 - alive_i)
+                dest = jnp.where(alive, ra, n_alive + rd) - 1
+                perm = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
             bc = jax.lax.bitcast_convert_type
             fm = jnp.stack([ray_o.x, ray_o.y, ray_o.z,
                             ray_d.x, ray_d.y, ray_d.z,

@@ -105,6 +105,18 @@ def test_regen_nee_fused_no_compaction(scene):
         ip._FORCE_INTERPRET = False
 
 
+def test_regen_sorted_lanes(scene):
+    # sort_rays=True switches the lane permutation to the Morton+octant
+    # key (the superchunk-scene mode); transport must be unchanged.
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    ip._FORCE_INTERPRET = True
+    try:
+        _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                                     sort_rays=True, tile_rays=1024))
+    finally:
+        ip._FORCE_INTERPRET = False
+
+
 def test_regen_steps_total(scene):
     # steps is a per-path traversal-cost AOV: totals must match exactly on
     # the brute backend (it reports a fixed per-trace count).
