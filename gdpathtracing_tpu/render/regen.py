@@ -60,6 +60,12 @@ from gdpathtracing_tpu.scene.scene import Scene
 LOG_COLS = 10  # pid | r g b | depth | nx ny nz | steps | segments
 #                (pid rides as f32 — exact below 2^24 paths; guarded)
 
+# Perf-decomposition knobs (examples/regen_decompose.py): skip_* disables
+# a loop stage (results become WRONG — timing only); fixed_iters replaces
+# the while_loop with a lax.scan of that length. All default-off.
+_DEBUG = dict(skip_permute=False, skip_trace=False, skip_spawn=False,
+              skip_append=False, fixed_iters=None)
+
 
 def regen_supported(scene: Scene, config: RenderConfig) -> bool:
     """Gate for the regeneration frame loop (renderer auto path)."""
@@ -71,9 +77,11 @@ def regen_supported(scene: Scene, config: RenderConfig) -> bool:
 
 
 def render_radiance_regen(scene: Scene, camera: Camera,
-                          config: RenderConfig, frame_index=0):
+                          config: RenderConfig, frame_index=0,
+                          return_stats: bool = False):
     """Full-frame trace with path regeneration. Returns FrameAOVs
-    (same contract as renderer.render_radiance)."""
+    (same contract as renderer.render_radiance); with ``return_stats``,
+    (FrameAOVs, {"iters", "lane_slots"}) for perf diagnostics."""
     from gdpathtracing_tpu.render.renderer import FrameAOVs
 
     w, h = camera.width, camera.height
@@ -130,6 +138,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
     init = dict(
         next_path=jnp.int32(min(nw, n_paths)),
+        iters=jnp.int32(0),
         log=jnp.zeros((n_paths + nw, LOG_COLS), f32),
         log_ptr=jnp.int32(0),
         ray_o=ray0.o, ray_d=ray0.d, seed=seed0,
@@ -157,7 +166,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     # blocks then trace at the coherent-camera rate (~7 ns/segment)
     # instead of being scattered into incoherent mixed blocks
     # (~38 ns/segment) — and camera segments are ~74% of the frame.
-    compact_lanes = config.compact_rays is not False
+    dbg = dict(_DEBUG)
+    compact_lanes = (config.compact_rays is not False
+                     and not dbg["skip_permute"])
 
     # Large (superchunk) scenes: the permutation key upgrades from
     # survivors-first to Morton-cell-of-origin × direction-octant (dead
@@ -228,7 +239,29 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         # ---- one path segment: the standard integrator body ----
         r = Ray(ray_o, ray_d)
         log, log_ptr = c["log"], c["log_ptr"]
-        if fuse_nee:
+        if dbg["skip_trace"]:  # timing decomposition only — wrong results
+            from gdpathtracing_tpu.render.types import HitInfo, MISS_T
+            zr = jnp.zeros((48, nw), f32) + ray_o.x[None, :] * 1e-30
+            zi = (ray_o.x * 0).astype(jnp.int32)
+            hit = HitInfo(t=zr[40] + MISS_T, tri=zi, inst=zi, u=zr[41],
+                          v=zr[42], front=zi.astype(bool), steps=zi,
+                          eidx=zi, rows=zr)
+            if fuse_nee:
+                p_occ = zi.astype(bool)
+                vis_prev = (~p_occ).astype(jnp.float32)
+                contrib = c["p_pend"] * vis_prev
+                own = c["p_sh_active"] & (c["p_pid"] == c["pid"]) & active
+                radiance = vwhere(own, radiance + contrib, radiance)
+                late = (c["p_sh_active"] & ~own)[:, None]
+                add = jnp.concatenate(
+                    [jnp.zeros((nw, 1), f32),
+                     jnp.stack([contrib.x, contrib.y, contrib.z], axis=1),
+                     jnp.zeros((nw, LOG_COLS - 4), f32)], axis=1)
+                p_row = c["p_row"] + jnp.where(late, add, 0.0)
+                if not dbg["skip_append"]:
+                    log, log_ptr = append(log, log_ptr,
+                                          c["p_row_active"], p_row)
+        elif fuse_nee:
             # Phase A closest-hit + phase B any-hit for the PREVIOUS
             # segment's shadow queries, one fused dispatch.
             hit, p_occ = trace_occlude_pallas(
@@ -250,7 +283,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                  jnp.zeros((nw, LOG_COLS - 4), f32)], axis=1)
             p_row = c["p_row"] + jnp.where(late, add, 0.0)
             # Deferred rows are now complete — log them, free the slots.
-            log, log_ptr = append(log, log_ptr, c["p_row_active"], p_row)
+            if not dbg["skip_append"]:
+                log, log_ptr = append(log, log_ptr, c["p_row_active"],
+                                      p_row)
         else:
             hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
@@ -384,7 +419,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # resolves in the NEXT fused dispatch (p_sh slots).
             new_p_row = jnp.where(dead_now[:, None], rows, p_row)
             new_p_row_active = dead_now
-        else:
+        elif not dbg["skip_append"]:
             log, log_ptr = append(log, log_ptr, dead_now, rows)
 
         # ---- survivors-first lane compaction (tail-coherent spawning) ----
@@ -448,7 +483,11 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         new_id = next_path + spawn_rank
         can = dead & (new_id < n_paths)
         new_id = jnp.minimum(new_id, n_paths - 1)
-        ray_new, seed_new = spawn(new_id)
+        if dbg["skip_spawn"]:  # timing only (use with fixed_iters)
+            can = can & False
+            ray_new, seed_new = Ray(ray_o, ray_d), seed
+        else:
+            ray_new, seed_new = spawn(new_id)
 
         ray_o = vwhere(can, ray_new.o, ray_o)
         ray_d = vwhere(can, ray_new.d, ray_d)
@@ -468,7 +507,8 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             next_path + jnp.sum(dead.astype(jnp.int32)),
             jnp.int32(n_paths))
 
-        new_c = dict(next_path=next_path, log=log, log_ptr=log_ptr,
+        new_c = dict(next_path=next_path, iters=c["iters"] + 1,
+                     log=log, log_ptr=log_ptr,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
                      prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
@@ -484,7 +524,11 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                          p_row_active=new_p_row_active)
         return new_c
 
-    final = jax.lax.while_loop(cond, body, init)
+    if dbg["fixed_iters"]:
+        final, _ = jax.lax.scan(lambda c, _: (body(c), None), init,
+                                None, length=dbg["fixed_iters"])
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     # Reorder the retirement log into path order: ONE scalar scatter
     # builds the pid -> log-position map, ONE row gather applies it.
     log = final["log"][:n_paths]
@@ -506,9 +550,13 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         normal = out[:, 5:8]
         steps = out[:, 8]
         segs = out[:, 9]
-    return FrameAOVs(
+    aovs = FrameAOVs(
         radiance=rgb.reshape(h, w, 3),
         depth=depth.reshape(h, w),
         steps=steps.astype(jnp.int32).reshape(h, w),
         segments=segs.astype(jnp.int32).reshape(h, w),
         normal=normal.reshape(h, w, 3))
+    if return_stats:
+        return aovs, {"iters": final["iters"],
+                      "lane_slots": final["iters"] * nw}
+    return aovs
