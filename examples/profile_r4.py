@@ -373,6 +373,20 @@ def stage_bwd(scene, camera):
 
     bench_scan("value_and_grad (1080p loss)", fwd_bwd, k=2)
 
+    cfg_nc = cfg.replace(bwd_checkpoint=False)
+
+    def loss_nc(albedo, f):
+        aovs = render_radiance(replace_albedo(scene, albedo), camera,
+                               cfg_nc, f)
+        return image_mse(aovs.radiance, target)
+
+    def fwd_bwd_nc(c):
+        albedo = scene.mat_albedo + c * 1e-30
+        l, g = jax.value_and_grad(loss_nc)(albedo, jnp.uint32(3))
+        return l + g.sum() * 1e-6 + c * 1e-30
+
+    bench_scan("value_and_grad NO per-bounce checkpoint", fwd_bwd_nc, k=2)
+
     # Non-diff forward at the same shapes for reference.
     cfg2 = cfg.replace(differentiable=False)
 

@@ -124,6 +124,14 @@ class RenderConfig:
     #                           bounce so backward memory stays O(wavefront)
     #                           instead of O(wavefront x bounces x ops).
     #                           BRUTE/UNIT are differentiable regardless.
+    bwd_checkpoint: bool = True  # differentiable mode: jax.checkpoint
+    #                           each bounce (backward recomputes the
+    #                           bounce interior; residual memory stays
+    #                           O(wavefront)). False = let the scan save
+    #                           every intermediate — ~1.6 GB residuals at
+    #                           1080p x 5 bounces (fits a 16 GB chip) in
+    #                           exchange for skipping the backward-pass
+    #                           recompute. Value/gradients identical.
     grad_attached: bool = False  # gradient strategy for the sampling terms
     #                           (Mitsuba's attached/detached distinction).
     #                           False (default) = DETACHED: the sampled

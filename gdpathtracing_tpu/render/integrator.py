@@ -521,7 +521,11 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         # recomputes the bounce's interior instead of saving every
         # intermediate — residuals stay O(wavefront), not
         # O(wavefront × bounces × ops) (SURVEY.md §7.6 hard part #2).
-        ckpt_body = jax.checkpoint(lambda carry, i: (body(i, carry), None))
+        # config.bwd_checkpoint=False trades that memory back for speed
+        # (no recompute) where the residuals fit HBM.
+        ckpt_body = (lambda carry, i: (body(i, carry), None))
+        if config.bwd_checkpoint:
+            ckpt_body = jax.checkpoint(ckpt_body)
         out, _ = jax.lax.scan(ckpt_body, init,
                               jnp.arange(config.bounces))
     else:
