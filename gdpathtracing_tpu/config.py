@@ -111,11 +111,12 @@ class RenderConfig:
     #                           cost of mostly-dead blocks (round-3
     #                           diagnosis). Primal only (while_loop is not
     #                           reverse-differentiable); requires
-    #                           regen.regen_supported. None currently
-    #                           means off (the auto default will flip to
-    #                           PALLAS-primal once TPU-validated); the
-    #                           standard per-bounce loop remains the
-    #                           bit-golden reference path.
+    #                           regen.regen_supported. None = auto: on
+    #                           for large (>128-chunk) PALLAS primal
+    #                           scenes where it measured 1.4x
+    #                           (regen.regen_auto); the standard
+    #                           per-bounce loop remains the default
+    #                           elsewhere and the bit-golden reference.
     differentiable: bool = False  # differentiable render path: PALLAS
     #                           traversal becomes a primal hit-finder with a
     #                           differentiable recompute epilogue
@@ -124,14 +125,16 @@ class RenderConfig:
     #                           bounce so backward memory stays O(wavefront)
     #                           instead of O(wavefront x bounces x ops).
     #                           BRUTE/UNIT are differentiable regardless.
-    bwd_checkpoint: bool = True  # differentiable mode: jax.checkpoint
+    bwd_checkpoint: bool = False  # differentiable mode: jax.checkpoint
     #                           each bounce (backward recomputes the
     #                           bounce interior; residual memory stays
-    #                           O(wavefront)). False = let the scan save
-    #                           every intermediate — ~1.6 GB residuals at
-    #                           1080p x 5 bounces (fits a 16 GB chip) in
-    #                           exchange for skipping the backward-pass
-    #                           recompute. Value/gradients identical.
+    #                           O(wavefront)). Default False = let the
+    #                           scan save every intermediate — measured
+    #                           1921 -> 1315 ms fwd+bwd at 1080p x 5
+    #                           bounces (campaign F [bwd2]); residuals
+    #                           ~1.6 GB at 1080p, ~6.5 GB at 4K — set
+    #                           True when they exceed HBM.
+    #                           Value/gradients identical either way.
     grad_attached: bool = False  # gradient strategy for the sampling terms
     #                           (Mitsuba's attached/detached distinction).
     #                           False (default) = DETACHED: the sampled

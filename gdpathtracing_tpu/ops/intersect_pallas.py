@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gdpathtracing_tpu.core.gather import gather_rows
 from gdpathtracing_tpu.render.types import MISS_T, HitInfo, Ray
 from gdpathtracing_tpu.scene.scene import Scene
 
@@ -921,7 +920,7 @@ def trace_pallas_diff(scene: Scene, ray: Ray, active=None,
     eidx = sg(hit0.eidx)
     is_hit = sg(hit0.t) < MISS_T
 
-    rows = gather_rows(scene.isect_cols, eidx)  # (N, 12), differentiable
+    rows = scene.isect_cols[eidx]  # (N, 12) — differentiable gather
 
     def dot4(m0, m1, m2, m3, x, y, z, w):
         return m0 * x + m1 * y + m2 * z + m3 * w
@@ -988,7 +987,7 @@ def trace_pallas_classic(scene: Scene, ray: Ray, active=None,
     # ONE contiguous 12-float row gather (isect_cols) + 4-term dots — far
     # cheaper than selecting them inside the (rays × tris) kernel sweep,
     # and row-major so the TPU gather is a contiguous 48 B fetch.
-    rows = gather_rows(scene.isect_cols, idx)  # (N, 12)
+    rows = scene.isect_cols[idx]  # (N, 12)
 
     def dot4(m0, m1, m2, m3, x, y, z, w):
         return m0 * x + m1 * y + m2 * z + m3 * w
@@ -1311,7 +1310,7 @@ def soft_occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
 
     # Differentiable recompute of the winner's coverage (the same
     # plane-intersection epilogue as trace_pallas_diff).
-    rows = gather_rows(scene.isect_cols, eidx)  # (N, 12)
+    rows = scene.isect_cols[eidx]  # (N, 12)
     one = ray.o.x * 0.0 + 1.0
     zero = ray.o.x * 0.0
 

@@ -13,7 +13,6 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from gdpathtracing_tpu.core.gather import gather_rows
 from gdpathtracing_tpu.core.math3d import affine_apply_point
 from gdpathtracing_tpu.core.vec import Vec3
 from gdpathtracing_tpu.scene.scene import Scene
@@ -94,7 +93,7 @@ def sample_light(table: LightTable, position: Vec3, r_pick, r1, r2
     l = jnp.searchsorted(table.cdf, r_pick, method=method)
     l = jnp.clip(l, 0, table.cdf.shape[0] - 1)
 
-    r = gather_rows(table.rows, l)  # (N, 17) via <=8-wide chunks
+    r = table.rows[l]  # (N, 17) — ONE row gather for all emitter data
     v0 = Vec3(r[:, 0], r[:, 1], r[:, 2])
     e1 = Vec3(r[:, 3], r[:, 4], r[:, 5])
     e2 = Vec3(r[:, 6], r[:, 7], r[:, 8])

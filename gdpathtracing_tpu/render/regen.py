@@ -76,6 +76,19 @@ def regen_supported(scene: Scene, config: RenderConfig) -> bool:
             and config.soft_primary == 0.0)
 
 
+def regen_auto(scene: Scene, config: RenderConfig) -> bool:
+    """config.regen=None policy: regeneration is the measured win on
+    LARGE (superchunk) scenes — grid 0.420 vs 0.301 Mrays/s with the
+    Morton-sorted dense wavefront (tpu_campaign_r4.log) — while the
+    6-chunk demo still favors the standard loop (463-492 vs 430 ms).
+    Same >128-chunk boundary as the sort heuristic. NEE stays manual
+    (--regen) until the unfused-shadow regen is measured at scale."""
+    return (config.traversal == Traversal.PALLAS
+            and not config.nee
+            and scene.isect_mu.shape[1] > 128 * 256
+            and regen_supported(scene, config))
+
+
 def render_radiance_regen(scene: Scene, camera: Camera,
                           config: RenderConfig, frame_index=0,
                           return_stats: bool = False):

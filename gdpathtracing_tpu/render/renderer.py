@@ -41,13 +41,20 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
     """Trace the full frame. Rays are traced in tiles of
     ``config.tile_rays`` (bounds the live wavefront + stack memory — the
     analog of the 32×32 workgroup tiling at main.glsl:404)."""
-    if config.regen:
-        from gdpathtracing_tpu.render.regen import (regen_supported,
+    if config.regen is not False:
+        from gdpathtracing_tpu.render.regen import (regen_auto,
+                                                    regen_supported,
                                                     render_radiance_regen)
-        if not regen_supported(scene, config):
-            raise ValueError("config.regen requires a primal "
-                             "BRUTE/UNIT/PALLAS render (no soft shadows)")
-        return render_radiance_regen(scene, camera, config, frame_index)
+        if config.regen:
+            if not regen_supported(scene, config):
+                raise ValueError("config.regen requires a primal "
+                                 "BRUTE/UNIT/PALLAS render (no soft "
+                                 "shadows/soft primary)")
+            return render_radiance_regen(scene, camera, config,
+                                         frame_index)
+        if regen_auto(scene, config):  # None = auto (large scenes)
+            return render_radiance_regen(scene, camera, config,
+                                         frame_index)
     w, h = camera.width, camera.height
     n_pix = w * h
     tile = min(config.tile_rays, n_pix)

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from gdpathtracing_tpu.core.gather import gather_rows
 from gdpathtracing_tpu.core.math3d import affine_apply_dir, affine_apply_point
 from gdpathtracing_tpu.core.vec import Vec3, where as vwhere
 from gdpathtracing_tpu.render.types import HitInfo, Ray, ShadingInfo
@@ -60,7 +59,7 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
     dominate the frame otherwise (~12 separate gathers in the classic
     path). Same math as get_shading_data."""
     e = jnp.maximum(hit.eidx, 0)
-    row = gather_rows(scene.isect_shade, e)  # (N, 16) as 2x(N, 8)
+    row = scene.isect_shade[e]               # (N, 16)
     u, v = hit.u, hit.v
     w = 1.0 - u - v
     normal = Vec3(
@@ -82,8 +81,7 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
         scene.mat_tex.astype(jnp.float32)[:, None],
         scene.mat_transmission[:, None],
         scene.mat_ior[:, None],
-        scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)
-    mat_rows = gather_rows(mat_rows, mat_id)
+        scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)[mat_id]
     albedo = Vec3(mat_rows[:, 0], mat_rows[:, 1], mat_rows[:, 2])
     if scene.has_textures:  # static: skip the 4 bilinear gathers otherwise
         tex_idx = mat_rows[:, 9].astype(jnp.int32)
