@@ -345,6 +345,132 @@ def stage_micro2(scene, camera):
     bench_scan("compacted retire (256k lanes, 9 cols)", retire)
 
 
+def stage_micro3(scene, camera):
+    """Isolated regen stage costs at nw=256k (the fixed-iteration
+    knock-outs interact through lane liveness — skip_spawn kills the
+    wavefront and deflates the trace — so measure stages standalone)."""
+    nw = TILE
+    cfg = RenderConfig(bounces=5, traversal=Traversal.PALLAS)
+    from gdpathtracing_tpu.render import regen as regen_mod
+    from gdpathtracing_tpu.render import brdf
+    from gdpathtracing_tpu.render.shading import get_shading_data
+    from gdpathtracing_tpu.core import rng as rng_mod
+
+    # spawn: path-id arithmetic + prng + camera ray
+    n_pix = W * H
+    ids0 = jnp.arange(nw, dtype=jnp.int32)
+
+    def spawn(c):
+        path_id = (ids0 + c.astype(jnp.int32)) % n_pix
+        pix = path_id % n_pix
+        s = (path_id // n_pix).astype(jnp.uint32)
+        px = (pix % W).astype(jnp.uint32)
+        py = (pix // W).astype(jnp.uint32)
+        seed = rng_mod.prng_seed(px, py, s)
+        ray, seed = camera.generate_rays(pix, seed, cfg)
+        return ray.d.x.sum() + seed[0].sum().astype(jnp.float32) * 1e-9
+
+    bench_scan("spawn (ids->camera rays, 256k)", spawn)
+
+    # glue: shading + brdf sample/pdf/eval + carries, on a real hit set
+    iray, _ = incoherent_rays(scene, n=nw, live_frac=1.0)
+    from gdpathtracing_tpu.ops.intersect_pallas import trace_pallas
+    hit = jax.jit(lambda r: trace_pallas(scene, r, None))(iray)
+    hit = jax.tree.map(jnp.asarray, hit)
+    seed0 = (jnp.arange(nw, dtype=jnp.uint32),
+             jnp.arange(nw, dtype=jnp.uint32) * 7)
+
+    def glue(c):
+        h = hit._replace(rows=hit.rows + c * 1e-30)
+        s = get_shading_data(scene, h, iray, fast=True)
+        (r1, r2), sd = rng_mod.pcg2d(seed0)
+        nd = brdf.sample_brdf(s, r1, r2)
+        pdf = brdf.brdf_pdf(s, nd)
+        f = brdf.eval_brdf(s, nd)
+        lam = s.normal.dot(nd)
+        scale = jnp.where(pdf > 1e-12, lam / jnp.maximum(pdf, 1e-12), 0.0)
+        return (f * scale).x.sum() + nd.y.sum()
+
+    bench_scan("glue (shading+brdf sample/pdf/eval, 256k)", glue)
+
+    # append: rank scatter + row gather + DUS into a 93 MB log
+    r = np.random.default_rng(0)
+    dead = jnp.asarray(r.random(nw) < 0.6)
+    rows10 = jnp.asarray(r.random((nw, 10), dtype=np.float32))
+    log0 = jnp.zeros((n_pix + nw, 10), jnp.float32)
+    lane_iota = jnp.arange(nw, dtype=jnp.int32)
+
+    def append(c):
+        mask = dead
+        mask_i = mask.astype(jnp.int32)
+        rank = jnp.cumsum(mask_i)
+        nd_ = rank[-1]
+        alive_rank = jnp.cumsum(1 - mask_i)
+        dest = jnp.where(mask, rank, nd_ + alive_rank) - 1
+        lanes = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
+        log = jax.lax.dynamic_update_slice(
+            log0, (rows10 + c)[lanes], (c.astype(jnp.int32) % 16, 0))
+        return log[0].sum() + nd_.astype(jnp.float32)
+
+    bench_scan("append (rank scatter+gather+DUS, 256k)", append)
+
+    # lane permute: pack 17+9 cols, gather, unpack
+    cols = [jnp.asarray(r.random(nw, dtype=np.float32)) for _ in range(17)]
+    perm0 = jnp.asarray(r.permutation(nw).astype(np.int32))
+
+    def permute(c):
+        fm = jnp.stack([x + c for x in cols], axis=1)[perm0]
+        return fm[:, 0].sum() + fm[:, 16].sum()
+
+    bench_scan("lane permute (17-col pack+gather, 256k)", permute)
+
+
+def stage_micro4(scene, camera):
+    """Is the retirement log's PADDED layout ((N, 10) f32 tiles pad the
+    minor dim to 128 lanes → ~1 GB physical) the regen mystery cost?
+    Measure the in-loop DUS append, the final [inv] reorder gather, and
+    the column-scatter alternative (1-D outputs never pad)."""
+    r = np.random.default_rng(0)
+    nw, npth = TILE, NFULL
+    rows10 = jnp.asarray(r.random((nw, 10), dtype=np.float32))
+    log0 = jnp.zeros((npth + nw, 10), jnp.float32)
+    inv = jnp.asarray(r.permutation(npth).astype(np.int32))
+    pid = jnp.asarray(r.permutation(npth)[:nw].astype(np.int32))
+    dead = jnp.asarray(r.random(nw) < 0.6)
+
+    def dus_carry(c):
+        # the log as a scan carry, DUS per iteration (regen's shape)
+        def body(carry, i):
+            log, ptr = carry
+            log = jax.lax.dynamic_update_slice(
+                log, rows10 + ptr.astype(jnp.float32) * 1e-30, (ptr, 0))
+            return (log, ptr + 131072), i
+        (log, _), _ = jax.lax.scan(
+            body, (log0 + c * 1e-30, jnp.int32(0)), jnp.arange(8))
+        return log[0].sum()
+
+    tmin, comp, v = timeit(jax.jit(dus_carry), jnp.float32(0))
+    print(f"{'DUS append into (2.07M,10) carry':52s} "
+          f"{(tmin - FLOOR)/8*1e3:9.2f} ms/iter  (compile {comp:.0f}s)",
+          flush=True)
+
+    bench_scan("final reorder log[inv] ((2.07M,10) gather)",
+               lambda c: (log0 + c)[inv][:, 1].sum(), k=2)
+
+    out0 = [jnp.zeros(npth, jnp.float32) for _ in range(10)]
+
+    def colscatter(c):
+        idx = jnp.where(dead, pid, npth)
+        tot = c * 1e-30
+        for k in range(10):
+            tot = tot + out0[k].at[idx].set(rows10[:, k] + c,
+                                            mode="drop").sum()
+        return tot
+
+    bench_scan("10 column scatters into 1-D outputs (256k idx)",
+               colscatter)
+
+
 def stage_bwd(scene, camera):
     """Decompose the backward frame (round 3: 1638 ms fwd+bwd vs 430
     primal): diff-mode forward-only vs value_and_grad — separates the
@@ -411,6 +537,10 @@ def main():
         stage_micro(scene, camera)
     if stage in ("micro2", "all"):
         stage_micro2(scene, camera)
+    if stage == "micro3":
+        stage_micro3(scene, camera)
+    if stage == "micro4":
+        stage_micro4(scene, camera)
     if stage == "bwd":  # heavy compile — run explicitly
         stage_bwd(scene, camera)
     print("done", flush=True)

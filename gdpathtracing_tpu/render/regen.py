@@ -20,15 +20,17 @@ Why no gathers: a fresh camera ray is pure arithmetic of its path id
 (pixel = id % n_pix, sample = id // n_pix, RNG seed = hash(px, py,
 frame·spp + sample)) — dead lanes compute their replacement in place.
 
-Why no in-loop scatters either: TPU row SCATTERS cost ~60 ns/row while
-row GATHERS and appends are ~5 ns/row (examples/tpu_campaign_r4.log
-micro stage — scattering results per iteration cost the first regen
-build ~40% of the frame). Finished paths are therefore APPENDED to a
-dense retirement log: each iteration compacts its retired rows to the
-front of the lane block (one 1-column rank scatter + one row gather)
-and writes the block at the log cursor with dynamic_update_slice —
-pure sequential bandwidth. One scalar scatter (pid → log position) and
-one big row gather reorder the log into path order at frame end.
+Why COLUMN scatters into 1-D outputs: three retirement designs were
+TPU-measured this round (examples/tpu_campaign_r4.log). (1) masked ROW
+scatters into (n_paths, k) buffers: ~60 ns/row — the first build spent
+~40% of the frame here. (2) an append-only retirement log with one
+final reorder: the log's (N, 10) layout pads its minor dim to 128
+lanes (~1 GB physical), so the per-iteration dynamic_update_slice and
+the loop-carry traffic on it cost more than the scatters it replaced.
+(3) per-COLUMN scalar scatters (~0.66 ms per 256k indices) into NINE
+separate 1-D (n_paths,) buffers — 1-D outputs never pad, results land
+pid-indexed directly (no final reorder), and the loop carry stays
+small. (3) wins and is what this module does.
 
 Transport: per-path RNG streams and per-segment math are exactly the
 standard integrator's (render/integrator.py body), so each path's
@@ -57,8 +59,8 @@ from gdpathtracing_tpu.render.sky import sample_sky
 from gdpathtracing_tpu.render.types import Ray
 from gdpathtracing_tpu.scene.scene import Scene
 
-LOG_COLS = 10  # pid | r g b | depth | nx ny nz | steps | segments
-#                (pid rides as f32 — exact below 2^24 paths; guarded)
+OUT_COLS = 9  # r g b | depth | nx ny nz | steps | segments — one 1-D
+#               (n_paths,) output buffer per column (pid-indexed)
 
 # Perf-decomposition knobs (examples/regen_decompose.py): skip_* disables
 # a loop stage (results become WRONG — timing only); fixed_iters replaces
@@ -100,7 +102,6 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     w, h = camera.width, camera.height
     n_pix = w * h
     n_paths = n_pix * config.spp
-    assert n_paths < 2 ** 24, "pid rides the retirement log as f32"
     nw = min(config.tile_rays, -(-n_paths // 256) * 256)
     frame_index = jnp.asarray(frame_index, dtype=jnp.uint32)
     f32 = jnp.float32
@@ -152,8 +153,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     init = dict(
         next_path=jnp.int32(min(nw, n_paths)),
         iters=jnp.int32(0),
-        log=jnp.zeros((n_paths + nw, LOG_COLS), f32),
-        log_ptr=jnp.int32(0),
+        out=tuple(jnp.zeros(n_paths, f32) for _ in range(OUT_COLS)),
         ray_o=ray0.o, ray_d=ray0.d, seed=seed0,
         tp=one3, rad=zero3,
         pid=lane0, bounce=jnp.zeros(nw, jnp.int32),
@@ -169,7 +169,8 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         init.update(p_sh_o=zero3, p_sh_d=zero3, p_sh_tmax=zero,
                     p_sh_active=jnp.zeros(nw, bool), p_pend=zero3,
                     p_pid=lane0 * 0,
-                    p_row=jnp.zeros((nw, LOG_COLS), f32),
+                    p_vals=tuple(jnp.zeros(nw, f32)
+                                 for _ in range(OUT_COLS)),
                     p_row_active=jnp.zeros(nw, bool))
 
     # Tail-coherent spawning: permute the lane state survivors-first each
@@ -226,20 +227,13 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
     lane_iota = jnp.arange(nw, dtype=jnp.int32)
 
-    def append(log, log_ptr, mask, rows):
-        """Append `rows[mask]` to the dense retirement log: retired-first
-        lane permutation (1-column rank scatter + row gather), then one
-        dynamic_update_slice at the cursor. Rows past the retired count
-        are live-lane garbage overwritten by the next append (the log has
-        nw rows of slack past n_paths for the final block's overhang)."""
-        mask_i = mask.astype(jnp.int32)
-        rank = jnp.cumsum(mask_i)
-        nd = rank[-1]
-        alive_rank = jnp.cumsum(1 - mask_i)
-        dest = jnp.where(mask, rank, nd + alive_rank) - 1
-        lanes = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
-        log = jax.lax.dynamic_update_slice(log, rows[lanes], (log_ptr, 0))
-        return log, log_ptr + nd
+    def retire(out, mask, pids, vals):
+        """Scatter the retired lanes' 9 columns into the 1-D pid-indexed
+        output buffers (masked lanes only; ~0.66 ms per column scatter at
+        256k indices — see the module docstring for why columns)."""
+        idx = jnp.where(mask, pids, n_paths)
+        return tuple(o.at[idx].set(v, mode="drop")
+                     for o, v in zip(out, vals))
 
     def body(c):
         ray_o, ray_d = c["ray_o"], c["ray_d"]
@@ -251,7 +245,30 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
         # ---- one path segment: the standard integrator body ----
         r = Ray(ray_o, ray_d)
-        log, log_ptr = c["log"], c["log_ptr"]
+        out = c["out"]
+
+        def resolve_pending(p_occ):
+            """Fold the resolved direct term of the PREVIOUS segment's
+            shadow query into its owner (live lane or deferred row),
+            then retire the now-complete deferred rows."""
+            nonlocal radiance, out
+            vis_prev = (~p_occ).astype(jnp.float32)
+            contrib = c["p_pend"] * vis_prev
+            # The lane still owns the posting path only if it is ACTIVE
+            # with the same pid (pids are pool ordinals, never reused).
+            own = c["p_sh_active"] & (c["p_pid"] == c["pid"]) & active
+            radiance = vwhere(own, radiance + contrib, radiance)
+            # A path that retired right after posting the query parked
+            # its row in p_vals (deferred retirement): the resolved
+            # direct term is that row's final radiance contribution.
+            late = c["p_sh_active"] & ~own
+            p_vals = list(c["p_vals"])
+            for k, comp in enumerate((contrib.x, contrib.y, contrib.z)):
+                p_vals[k] = p_vals[k] + jnp.where(late, comp, 0.0)
+            if not dbg["skip_append"]:
+                out = retire(out, c["p_row_active"], c["p_pid"], p_vals)
+            return tuple(p_vals)
+
         if dbg["skip_trace"]:  # timing decomposition only — wrong results
             from gdpathtracing_tpu.render.types import HitInfo, MISS_T
             zr = jnp.zeros((48, nw), f32) + ray_o.x[None, :] * 1e-30
@@ -260,45 +277,14 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                           v=zr[42], front=zi.astype(bool), steps=zi,
                           eidx=zi, rows=zr)
             if fuse_nee:
-                p_occ = zi.astype(bool)
-                vis_prev = (~p_occ).astype(jnp.float32)
-                contrib = c["p_pend"] * vis_prev
-                own = c["p_sh_active"] & (c["p_pid"] == c["pid"]) & active
-                radiance = vwhere(own, radiance + contrib, radiance)
-                late = (c["p_sh_active"] & ~own)[:, None]
-                add = jnp.concatenate(
-                    [jnp.zeros((nw, 1), f32),
-                     jnp.stack([contrib.x, contrib.y, contrib.z], axis=1),
-                     jnp.zeros((nw, LOG_COLS - 4), f32)], axis=1)
-                p_row = c["p_row"] + jnp.where(late, add, 0.0)
-                if not dbg["skip_append"]:
-                    log, log_ptr = append(log, log_ptr,
-                                          c["p_row_active"], p_row)
+                p_vals = resolve_pending(zi.astype(bool))
         elif fuse_nee:
             # Phase A closest-hit + phase B any-hit for the PREVIOUS
             # segment's shadow queries, one fused dispatch.
             hit, p_occ = trace_occlude_pallas(
                 scene, r, active, Ray(c["p_sh_o"], c["p_sh_d"]),
                 c["p_sh_tmax"], c["p_sh_active"], prep=nee_prep)
-            vis_prev = (~p_occ).astype(jnp.float32)
-            contrib = c["p_pend"] * vis_prev
-            # The lane still owns the posting path only if it is ACTIVE
-            # with the same pid (pids are pool ordinals, never reused).
-            own = c["p_sh_active"] & (c["p_pid"] == c["pid"]) & active
-            radiance = vwhere(own, radiance + contrib, radiance)
-            # A path that retired right after posting the query parked
-            # its row in p_row (deferred retirement): the resolved direct
-            # term is that row's final radiance contribution.
-            late = (c["p_sh_active"] & ~own)[:, None]
-            add = jnp.concatenate(
-                [jnp.zeros((nw, 1), f32),
-                 jnp.stack([contrib.x, contrib.y, contrib.z], axis=1),
-                 jnp.zeros((nw, LOG_COLS - 4), f32)], axis=1)
-            p_row = c["p_row"] + jnp.where(late, add, 0.0)
-            # Deferred rows are now complete — log them, free the slots.
-            if not dbg["skip_append"]:
-                log, log_ptr = append(log, log_ptr, c["p_row_active"],
-                                      p_row)
+            p_vals = resolve_pending(p_occ)
         else:
             hit = trace_fn(scene, r, active)
         is_hit = hit.hit & active
@@ -423,17 +409,17 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
         # ---- retire finished paths ----
         dead_now = active & ~alive
-        rows = jnp.stack([c["pid"].astype(f32),
-                          radiance.x, radiance.y, radiance.z, depth1,
-                          normal1.x, normal1.y, normal1.z,
-                          steps.astype(f32), segs.astype(f32)], axis=1)
+        vals = (radiance.x, radiance.y, radiance.z, depth1,
+                normal1.x, normal1.y, normal1.z,
+                steps.astype(f32), segs.astype(f32))
         if fuse_nee:
             # Defer one iteration: the row's last direct-light term
             # resolves in the NEXT fused dispatch (p_sh slots).
-            new_p_row = jnp.where(dead_now[:, None], rows, p_row)
+            new_p_vals = tuple(jnp.where(dead_now, v, pv)
+                               for v, pv in zip(vals, p_vals))
             new_p_row_active = dead_now
         elif not dbg["skip_append"]:
-            log, log_ptr = append(log, log_ptr, dead_now, rows)
+            out = retire(out, dead_now, c["pid"], vals)
 
         # ---- survivors-first lane compaction (tail-coherent spawning) ----
         pid = c["pid"]
@@ -472,18 +458,23 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             steps, segs = im[:, 4], im[:, 5]
             alive = lane_iota < n_alive
             if fuse_nee:
+                # Pendings + deferred retirement values ride the same
+                # permutation (all (nw, <=128)-wide matrices pad to the
+                # same 128-lane tile, so extra columns are ~free).
                 pfm = jnp.stack([new_p_sh_o.x, new_p_sh_o.y, new_p_sh_o.z,
                                  new_p_sh_d.x, new_p_sh_d.y, new_p_sh_d.z,
                                  new_p_sh_tmax, new_p_pend.x, new_p_pend.y,
-                                 new_p_pend.z], axis=1)[perm]
+                                 new_p_pend.z] + list(new_p_vals),
+                                axis=1)[perm]
                 new_p_sh_o = Vec3(pfm[:, 0], pfm[:, 1], pfm[:, 2])
                 new_p_sh_d = Vec3(pfm[:, 3], pfm[:, 4], pfm[:, 5])
                 new_p_sh_tmax = pfm[:, 6]
                 new_p_pend = Vec3(pfm[:, 7], pfm[:, 8], pfm[:, 9])
+                new_p_vals = tuple(pfm[:, 10 + k]
+                                   for k in range(OUT_COLS))
                 new_p_sh_active = im[:, 6].astype(bool)
                 new_p_row_active = im[:, 7].astype(bool)
                 new_p_pid = im[:, 8]
-                new_p_row = new_p_row[perm]
         elif fuse_nee:
             new_p_pid = c["pid"]
 
@@ -520,8 +511,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             next_path + jnp.sum(dead.astype(jnp.int32)),
             jnp.int32(n_paths))
 
-        new_c = dict(next_path=next_path, iters=c["iters"] + 1,
-                     log=log, log_ptr=log_ptr,
+        new_c = dict(next_path=next_path, iters=c["iters"] + 1, out=out,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
                      prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
@@ -533,7 +523,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             new_c.update(p_sh_o=new_p_sh_o, p_sh_d=new_p_sh_d,
                          p_sh_tmax=new_p_sh_tmax,
                          p_sh_active=new_p_sh_active, p_pend=new_p_pend,
-                         p_pid=new_p_pid, p_row=new_p_row,
+                         p_pid=new_p_pid, p_vals=new_p_vals,
                          p_row_active=new_p_row_active)
         return new_c
 
@@ -542,27 +532,22 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                                 None, length=dbg["fixed_iters"])
     else:
         final = jax.lax.while_loop(cond, body, init)
-    # Reorder the retirement log into path order: ONE scalar scatter
-    # builds the pid -> log-position map, ONE row gather applies it.
-    log = final["log"][:n_paths]
-    pid_log = log[:, 0].astype(jnp.int32)
-    inv = jnp.zeros(n_paths, jnp.int32).at[pid_log].set(
-        jnp.arange(n_paths, dtype=jnp.int32))
-    out = log[inv]  # (n_paths, LOG_COLS)
+    out = final["out"]  # 9 x (n_paths,) pid-indexed — no reorder needed
 
     if config.spp > 1:
-        o = out.reshape(config.spp, n_pix, LOG_COLS)
-        rgb = o[:, :, 1:4].mean(axis=0)
-        depth = o[:, :, 4].min(axis=0)
-        normal = o[0, :, 5:8]
-        steps = o[:, :, 8].sum(axis=0)
-        segs = o[:, :, 9].sum(axis=0)
+        o = [a.reshape(config.spp, n_pix) for a in out]
+        rgb = jnp.stack([o[0].mean(axis=0), o[1].mean(axis=0),
+                         o[2].mean(axis=0)], axis=1)
+        depth = o[3].min(axis=0)
+        normal = jnp.stack([o[4][0], o[5][0], o[6][0]], axis=1)
+        steps = o[7].sum(axis=0)
+        segs = o[8].sum(axis=0)
     else:
-        rgb = out[:, 1:4]
-        depth = out[:, 4]
-        normal = out[:, 5:8]
-        steps = out[:, 8]
-        segs = out[:, 9]
+        rgb = jnp.stack(out[0:3], axis=1)
+        depth = out[3]
+        normal = jnp.stack(out[4:7], axis=1)
+        steps = out[7]
+        segs = out[8]
     aovs = FrameAOVs(
         radiance=rgb.reshape(h, w, 3),
         depth=depth.reshape(h, w),
