@@ -333,8 +333,9 @@ def main() -> None:
 
     rays_per_s = segments * args.frames / dt
     mrays = rays_per_s / 1e6
+    kind = "nee" if args.nee else "primal"
     print(json.dumps({
-        "metric": f"Mrays/s/chip primal {args.spp}spp "
+        "metric": f"Mrays/s/chip {kind} {args.spp}spp "
                   f"{args.width}x{args.height} {traversal.value} "
                   f"{args.scene}",
         "value": round(mrays, 3),

@@ -79,15 +79,13 @@ def regen_supported(scene: Scene, config: RenderConfig) -> bool:
 
 
 def regen_auto(scene: Scene, config: RenderConfig) -> bool:
-    """config.regen=None policy: regeneration is the measured win on
-    LARGE (superchunk) scenes — grid 0.420 vs 0.301 Mrays/s with the
-    Morton-sorted dense wavefront (tpu_campaign_r4.log) — while the
-    6-chunk demo still favors the standard loop (463-492 vs 430 ms).
-    Same >128-chunk boundary as the sort heuristic. NEE stays manual
-    (--regen) until the unfused-shadow regen is measured at scale."""
+    """config.regen=None policy: with the column-scatter retirement
+    (v3), regeneration beats the standard loop on BOTH measured scales —
+    demo 409 vs 430 ms, grid 0.407-0.420 vs 0.301 Mrays/s
+    (tpu_campaign_r4.log) — so every PALLAS render takes it. NEE too:
+    fused-NEE regen (deferred rows + column-scatter retirement) measured
+    753 vs 891 ms standard (campaign J [nee-regen3])."""
     return (config.traversal == Traversal.PALLAS
-            and not config.nee
-            and scene.isect_mu.shape[1] > 128 * 256
             and regen_supported(scene, config))
 
 

@@ -42,13 +42,22 @@ def test_sharded_pallas_interpret_bitwise(monkeypatch):
     cam = demo_camera(40, 24)
     mesh = make_mesh(jax.devices())
     for nee in (False, True):
+        # regen=False on the single side: the sharded path runs the
+        # standard per-bounce loop, and the bit-equality contract is
+        # like-for-like (regen reproduces the same per-path transport
+        # but different BLOCK composition, so traversal tie-breaks can
+        # flip — checked separately below at allclose).
         cfg = RenderConfig(bounces=2, spp=1, traversal=Traversal.PALLAS,
-                           tile_rays=1024, nee=nee)
+                           tile_rays=1024, nee=nee, regen=False)
         single = render_radiance(scene, cam, cfg, frame_index=3)
         sharded = render_radiance_sharded(scene, cam, cfg, 3, mesh)
         a = np.asarray(single.radiance)
         b = np.asarray(sharded.radiance)
         assert np.array_equal(a, b), (nee, np.abs(a - b).max())
+        regen = render_radiance(scene, cam, cfg.replace(regen=True),
+                                frame_index=3)
+        np.testing.assert_allclose(np.asarray(regen.radiance), a,
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_sharded_pallas_grad_matches_single(monkeypatch):
