@@ -162,7 +162,8 @@ def main() -> None:
     config = RenderConfig(bounces=args.bounces, spp=args.spp,
                           traversal=traversal, nee=args.nee)
     if args.tile_rays:
-        config = config.replace(tile_rays=args.tile_rays)
+        config = config.replace(tile_rays=args.tile_rays,
+                                regen_wavefront=args.tile_rays)
     if args.sort:
         config = config.replace(sort_rays=True)
     if args.no_sort:

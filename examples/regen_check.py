@@ -34,7 +34,8 @@ def main():
     scene = build_demo_scene(texture_resolution=64, sphere_detail=16)
     camera = demo_camera(args.res, args.res)
     cfg = RenderConfig(bounces=args.bounces, traversal=Traversal.PALLAS,
-                       nee=args.nee, tile_rays=args.tile_rays)
+                       nee=args.nee, tile_rays=args.tile_rays,
+                       regen_wavefront=args.tile_rays)
 
     for name, config in (("standard", cfg.replace(regen=False)),
                          ("regen", cfg.replace(regen=True))):

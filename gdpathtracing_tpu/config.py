@@ -176,6 +176,15 @@ class RenderConfig:
     max_stack: int = 64       # traversal stack depth (main.glsl:272,307)
     tile_rays: int = 262144   # rays per traced tile (bounds live wavefront
     #                           memory; larger tiles amortize dispatch)
+    regen_wavefront: int = 524288  # persistent-wavefront size of the
+    #                           regeneration loop (render/regen.py).
+    #                           Larger wavefronts amortize the per-
+    #                           iteration fixed costs (permute, spawn,
+    #                           retirement scatters): demo 1080p measured
+    #                           492/463/409/352 ms at nw = 256k (v2) /
+    #                           786k (v2) / 256k (v3) / 524k (v3) —
+    #                           campaign logs. Capped by the path-pool
+    #                           size.
     temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
     temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
     denoising: DenoisingMode = DenoisingMode.PROGRESSIVE

@@ -100,7 +100,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     w, h = camera.width, camera.height
     n_pix = w * h
     n_paths = n_pix * config.spp
-    nw = min(config.tile_rays, -(-n_paths // 256) * 256)
+    nw = min(config.regen_wavefront, -(-n_paths // 256) * 256)
     frame_index = jnp.asarray(frame_index, dtype=jnp.uint32)
     f32 = jnp.float32
 
@@ -182,15 +182,17 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     compact_lanes = (config.compact_rays is not False
                      and not dbg["skip_permute"])
 
-    # Large (superchunk) scenes: the permutation key upgrades from
-    # survivors-first to Morton-cell-of-origin × direction-octant (dead
-    # last) — the integrator's per-bounce sort, but on an ALWAYS-DENSE
-    # wavefront, which is the best case for the per-block superchunk
-    # culling. Same auto heuristic as the standard loop (>128 chunks).
+    # The permutation key upgrades from survivors-first to
+    # Morton-cell-of-origin × direction-octant (dead last) — the
+    # integrator's per-bounce sort, but on an ALWAYS-DENSE wavefront,
+    # which is the best case for per-block chunk culling. Unlike the
+    # standard loop (where sorting only pays on >128-chunk scenes, since
+    # it reorders a mostly-dead wavefront), regen sorting wins on EVERY
+    # measured scale: demo 1080p 312 vs 352 ms at nw=524k, grid 0.42 vs
+    # 0.20 Mrays/s (tpu_campaign_r4.log) — so it is the PALLAS default.
     sort_lanes = config.sort_rays
     if sort_lanes is None:
-        sort_lanes = (config.traversal == Traversal.PALLAS
-                      and scene.isect_mu.shape[1] > 128 * 256)
+        sort_lanes = config.traversal == Traversal.PALLAS
     sort_lanes = bool(sort_lanes) and compact_lanes
     if sort_lanes:
         cb = scene.isect_chunk_bounds

@@ -47,7 +47,7 @@ def test_regen_matches_brute(scene):
 def test_regen_small_wavefront(scene):
     # Wavefront much smaller than the path pool: many regeneration rounds.
     _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
-                                 tile_rays=256))
+                                 tile_rays=256, regen_wavefront=256))
 
 
 def test_regen_nee(scene):
@@ -57,7 +57,7 @@ def test_regen_nee(scene):
 
 def test_regen_spp(scene):
     _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
-                                 spp=2, tile_rays=512))
+                                 spp=2, tile_rays=512, regen_wavefront=512))
 
 
 def test_regen_rr(scene):
@@ -70,7 +70,7 @@ def test_regen_pallas_interpret(scene):
     ip._FORCE_INTERPRET = True
     try:
         _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
-                                     tile_rays=1024))
+                                     tile_rays=1024, regen_wavefront=1024))
     finally:
         ip._FORCE_INTERPRET = False
 
@@ -82,7 +82,7 @@ def test_regen_nee_fused_pallas(scene):
     ip._FORCE_INTERPRET = True
     try:
         _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
-                                     nee=True, tile_rays=1024))
+                                     nee=True, tile_rays=1024, regen_wavefront=1024))
     finally:
         ip._FORCE_INTERPRET = False
 
@@ -91,7 +91,7 @@ def test_regen_no_lane_compaction(scene):
     # compact_rays=False disables the survivors-first lane permutation;
     # transport must be identical either way.
     _compare(scene, RenderConfig(bounces=3, traversal=Traversal.BRUTE,
-                                 compact_rays=False, tile_rays=512))
+                                 compact_rays=False, tile_rays=512, regen_wavefront=512))
 
 
 def test_regen_nee_fused_no_compaction(scene):
@@ -100,7 +100,7 @@ def test_regen_nee_fused_no_compaction(scene):
     try:
         _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
                                      nee=True, compact_rays=False,
-                                     tile_rays=1024))
+                                     tile_rays=1024, regen_wavefront=1024))
     finally:
         ip._FORCE_INTERPRET = False
 
@@ -112,7 +112,7 @@ def test_regen_sorted_lanes(scene):
     ip._FORCE_INTERPRET = True
     try:
         _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
-                                     sort_rays=True, tile_rays=1024))
+                                     sort_rays=True, tile_rays=1024, regen_wavefront=1024))
     finally:
         ip._FORCE_INTERPRET = False
 
