@@ -58,22 +58,25 @@ def run_all_axes(verbose: bool) -> None:
         if verbose:
             print(f"[bench] {axis}: {results[axis]} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    # Guarded aggregation: a malformed axis line (missing "value" /
+    # "ms_per_frame") degrades to null instead of killing the whole run —
+    # the crash-isolation goal of the per-axis subprocesses.
     extra = {}
     for k, r in results.items():
         if k != "primal":
-            extra[f"{k}_mrays"] = r["value"] if r else None
-        if r and "ms_per_frame" in r:
+            extra[f"{k}_mrays"] = r.get("value") if r else None
+        if r and r.get("ms_per_frame") is not None:
             extra[f"{k}_ms"] = r["ms_per_frame"]
-    if results.get("nee") and results.get("primal"):
+    nee_ms = (results.get("nee") or {}).get("ms_per_frame")
+    primal_ms = (results.get("primal") or {}).get("ms_per_frame")
+    if nee_ms and primal_ms:
         # Wall-clock ratio of the NEE frame vs the primal frame — the
         # <=1.3x target (VERDICT r3 item 3).
-        extra["nee_over_primal_time"] = round(
-            results["nee"]["ms_per_frame"]
-            / results["primal"]["ms_per_frame"], 3)
+        extra["nee_over_primal_time"] = round(nee_ms / primal_ms, 3)
     primal = results.get("primal")
     print(json.dumps({
         "metric": "Mrays/s/chip primal 1spp 1920x1080 pallas demo",
-        "value": primal["value"] if primal else None,
+        "value": primal.get("value") if primal else None,
         "unit": "Mrays/s",
         "vs_baseline": 1.0,
         "extra": extra,

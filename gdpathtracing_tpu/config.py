@@ -111,12 +111,14 @@ class RenderConfig:
     #                           cost of mostly-dead blocks (round-3
     #                           diagnosis). Primal only (while_loop is not
     #                           reverse-differentiable); requires
-    #                           regen.regen_supported. None = auto: on
-    #                           for large (>128-chunk) PALLAS primal
-    #                           scenes where it measured 1.4x
-    #                           (regen.regen_auto); the standard
-    #                           per-bounce loop remains the default
-    #                           elsewhere and the bit-golden reference.
+    #                           regen.regen_supported. None = auto: ON for
+    #                           EVERY supported PALLAS primal render —
+    #                           with column-scatter retirement it beats
+    #                           the standard loop on all measured scales
+    #                           (demo 312 vs 430 ms, grid 0.44 vs 0.30
+    #                           Mrays/s — regen.regen_auto); the standard
+    #                           per-bounce loop remains the bit-golden
+    #                           reference and the non-PALLAS default.
     differentiable: bool = False  # differentiable render path: PALLAS
     #                           traversal becomes a primal hit-finder with a
     #                           differentiable recompute epilogue

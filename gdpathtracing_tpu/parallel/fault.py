@@ -37,24 +37,74 @@ def tile_health(aovs: FrameAOVs, tile: int = 64) -> np.ndarray:
     """(TH, TW) bool: True where the tile looks healthy. A tile is bad if
     any radiance/depth/normal entry is non-finite, any depth is negative,
     or the whole tile reports zero traced segments (camera rays always
-    trace >= 1 segment per pixel)."""
-    rad = np.asarray(aovs.radiance)
+    trace >= 1 segment per pixel).
+
+    Fully vectorized (pad to tile multiples with benign values, reshape,
+    reduce): O(1) host ops regardless of tile count — the round-3 Python
+    double loop crawled at 4K with small tiles."""
     depth = np.asarray(aovs.depth)
-    normal = np.asarray(aovs.normal)
-    segs = np.asarray(aovs.segments)
     h, w = depth.shape
     th, tw = -(-h // tile), -(-w // tile)
-    ok = np.ones((th, tw), bool)
-    for ty in range(th):
-        for tx in range(tw):
-            sl = (slice(ty * tile, min((ty + 1) * tile, h)),
-                  slice(tx * tile, min((tx + 1) * tile, w)))
-            finite = (np.isfinite(rad[sl]).all()
-                      and np.isfinite(depth[sl]).all()
-                      and np.isfinite(normal[sl]).all())
-            ok[ty, tx] = (finite and (depth[sl] >= 0.0).all()
-                          and segs[sl].sum() > 0)
-    return ok
+    ph, pw = th * tile - h, tw * tile - w
+
+    def tiles(x, fill):
+        """(h, w[, c]) → (th, tile, tw, tile·c) with benign padding."""
+        pad = ((0, ph), (0, pw)) + ((0, 0),) * (x.ndim - 2)
+        x = np.pad(x, pad, constant_values=fill)
+        return x.reshape(th, tile, tw, -1)
+
+    rad = tiles(np.asarray(aovs.radiance), 0.0)
+    nrm = tiles(np.asarray(aovs.normal), 0.0)
+    dep = tiles(depth, 0.0)
+    segs = tiles(np.asarray(aovs.segments), 0)
+    bad = ~np.isfinite(rad).all(axis=(1, 3))
+    bad |= ~np.isfinite(nrm).all(axis=(1, 3))
+    bad |= (~np.isfinite(dep) | (dep < 0.0)).any(axis=(1, 3))
+    # Padding contributes 0 segments; every tile contains >= 1 real pixel.
+    bad |= segs.sum(axis=(1, 3), dtype=np.int64) <= 0
+    return ~bad
+
+
+def redundancy_probe(scene: Scene, camera: Camera, config: RenderConfig,
+                     frame_index, aovs: FrameAOVs, k: int = 2,
+                     tile: int = 64, seed: int = 0,
+                     atol: float = 1e-4, frac_bad: float = 0.01
+                     ) -> list[tuple[int, int]]:
+    """Silent-corruption detector: re-trace `k` randomly chosen tiles with
+    the single-device pixel-batch path and compare. `tile_health` only
+    catches LOUD failures (NaN/Inf, dropped tiles); a finite-but-wrong
+    tile — bit flips, a miscompiled kernel on one chip — passes it. This
+    probe makes such corruption detectable in principle at a bounded cost
+    (k tiles per frame, ~k·tile²/(H·W) of a full render).
+
+    Comparison is allclose-per-pixel with a mismatching-pixel-fraction
+    gate (not bit-equality): the default regen frame loop keeps per-path
+    transport identical but may flip traversal tie-breaks on a ~1e-4
+    pixel fraction vs the pixel-batch path (CLAUDE.md invariants).
+    Returns the list of (ty, tx) tiles whose mismatch exceeds
+    `frac_bad` — corrupt with near-certainty."""
+    rad = np.asarray(aovs.radiance)
+    h, w = rad.shape[:2]
+    th, tw = -(-h // tile), -(-w // tile)
+    rng = np.random.default_rng(seed)
+    n_tiles = th * tw
+    picks = rng.choice(n_tiles, size=min(k, n_tiles), replace=False)
+    bad: list[tuple[int, int]] = []
+    for p in picks:
+        ty, tx = int(p) // tw, int(p) % tw
+        ys = slice(ty * tile, min((ty + 1) * tile, h))
+        xs = slice(tx * tile, min((tx + 1) * tile, w))
+        yy, xx = np.mgrid[ys, xs]
+        pids = jnp.asarray((yy * w + xx).ravel(), jnp.int32)
+        rgb, _, _, _, _ = _render_pixel_batch(
+            scene, camera, config, frame_index, pids)
+        ref = np.asarray(rgb).reshape(*yy.shape, 3)
+        got = rad[ys, xs]
+        mism = ~np.isclose(got, ref, atol=atol, rtol=1e-3)
+        if not np.isfinite(got).all() or \
+                mism.any(axis=-1).mean() > frac_bad:
+            bad.append((ty, tx))
+    return bad
 
 
 def _render_pixel_batch(scene: Scene, camera: Camera, config: RenderConfig,
@@ -70,7 +120,8 @@ def render_with_retry(scene: Scene, camera: Camera, config: RenderConfig,
                       render_fn: Callable[..., FrameAOVs],
                       max_retries: int = 2,
                       tile: int = 64,
-                      on_retry: Callable[[int, int], None] | None = None
+                      on_retry: Callable[[int, int], None] | None = None,
+                      probe_tiles: int = 0
                       ) -> tuple[FrameAOVs, int]:
     """Render a frame and heal unhealthy tiles by re-dispatching exactly
     those pixels. Returns (aovs, tiles_recovered).
@@ -79,12 +130,23 @@ def render_with_retry(scene: Scene, camera: Camera, config: RenderConfig,
     primary (possibly sharded) frame path; recovery re-traces bad tiles
     with the single-device pixel-batch path, which is bit-identical
     because the RNG is keyed by (pixel, frame), not by chip.
+
+    ``probe_tiles > 0`` additionally runs the low-rate redundancy probe
+    each attempt (silent-corruption detection): probed tiles whose
+    radiance disagrees with an independent re-trace beyond tie-break
+    noise are healed like loud failures.
     """
     aovs = render_fn(scene, camera, config, frame_index)
     h, w = camera.height, camera.width
     recovered = 0
     for attempt in range(max_retries):
         ok = tile_health(aovs, tile)
+        if probe_tiles > 0:
+            for ty, tx in redundancy_probe(
+                    scene, camera, config, frame_index, aovs,
+                    k=probe_tiles, tile=tile,
+                    seed=int(np.uint32(frame_index)) + attempt):
+                ok[ty, tx] = False
         if ok.all():
             break
         bad = np.argwhere(~ok)
@@ -120,8 +182,9 @@ def render_with_retry(scene: Scene, camera: Camera, config: RenderConfig,
 def inject_tile_fault(aovs: FrameAOVs, ty: int, tx: int,
                       tile: int = 64, kind: str = "nan") -> FrameAOVs:
     """Fault injection for tests: corrupt one tile the way a dying
-    accelerator does — NaN radiance ("nan"), or a silently-dropped tile
-    with zero segments ("drop")."""
+    accelerator does — NaN radiance ("nan"), a silently-dropped tile
+    with zero segments ("drop"), or finite-but-wrong radiance ("silent"
+    — passes tile_health; only the redundancy probe can catch it)."""
     rad = np.asarray(aovs.radiance).copy()
     segs = np.asarray(aovs.segments).copy()
     h, w = np.asarray(aovs.depth).shape
@@ -132,6 +195,8 @@ def inject_tile_fault(aovs: FrameAOVs, ty: int, tx: int,
     elif kind == "drop":
         rad[ys, xs] = 0.0
         segs[ys, xs] = 0
+    elif kind == "silent":
+        rad[ys, xs] = rad[ys, xs] * 0.75 + 0.125
     else:
         raise ValueError(kind)
     return aovs._replace(radiance=jnp.asarray(rad),

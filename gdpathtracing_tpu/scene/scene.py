@@ -222,15 +222,40 @@ def build_shade_rows(tri_normal, tri_uv, tri_slot, inst_materials,
 def _edge_openness(pos: np.ndarray) -> np.ndarray:
     """(c, 3, 3) object-space triangle positions of ONE mesh → (c, 3) f32
     openness flags per barycentric edge (Scene.tri_edge_open layout).
-    Vertices are merged by exact rounded position (meshes duplicate
-    vertices per surface/normal split; positions still coincide)."""
+    Vertices are merged with a TRUE tolerance (~1e-5): eight offset
+    quantization grids + union-find, so coincident vertices straddling a
+    single grid's rounding boundary still merge (a single-grid round
+    falsely marked such seams open, softening interior edges in the
+    soft-shadow estimators). Any two vertices within eps/2 (inf-norm)
+    share a cell in at least one of the 2^3 half-cell-offset grids."""
     c = pos.shape[0]
     if c == 0:
         return np.zeros((0, 3), np.float32)
-    flat = np.ascontiguousarray(pos.round(5).astype(np.float32)
-                                ).reshape(-1, 3)
-    _, vid = np.unique(flat.view([("", np.float32)] * 3),
-                       return_inverse=True)
+    eps = 1e-5
+    flat = np.ascontiguousarray(pos, dtype=np.float64).reshape(-1, 3)
+    nv = flat.shape[0]
+    grps = []
+    for ox in (0.0, 0.5):
+        for oy in (0.0, 0.5):
+            for oz in (0.0, 0.5):
+                q = np.floor(flat / eps + np.array([ox, oy, oz]))
+                _, grp = np.unique(
+                    np.ascontiguousarray(q).view([("", np.float64)] * 3),
+                    return_inverse=True)
+                grps.append(grp.ravel())
+    # Connected components across the eight groupings via min-label
+    # propagation (vectorized; converges in a few sweeps — merge chains
+    # across offset grids are short).
+    labels = np.arange(nv, dtype=np.int64)
+    for _ in range(32):
+        prev = labels
+        for grp in grps:
+            gmin = np.full(grp.max() + 1, nv, dtype=np.int64)
+            np.minimum.at(gmin, grp, labels)
+            labels = gmin[grp]
+        if np.array_equal(labels, prev):
+            break
+    _, vid = np.unique(labels, return_inverse=True)
     vid = vid.reshape(c, 3).astype(np.int64)
     # Edge per margin: u=0 ↔ (v0, v2); v=0 ↔ (v0, v1); w=0 ↔ (v1, v2).
     e_u = np.sort(vid[:, [0, 2]], axis=1)

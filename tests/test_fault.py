@@ -9,6 +9,7 @@ import pytest
 
 from gdpathtracing_tpu.config import Jitter, RenderConfig, Traversal
 from gdpathtracing_tpu.parallel.fault import (inject_tile_fault,
+                                              redundancy_probe,
                                               render_with_retry,
                                               tile_health)
 from gdpathtracing_tpu.render.renderer import render_radiance
@@ -68,6 +69,33 @@ def test_injected_fault_detected_and_healed_bit_identically(setup, kind):
                                   np.asarray(clean.depth))
     np.testing.assert_array_equal(np.asarray(aovs.segments),
                                   np.asarray(clean.segments))
+
+
+def test_silent_corruption_caught_by_redundancy_probe(setup):
+    """A finite-but-wrong tile passes tile_health (by design — it only
+    catches loud failures) but the redundancy probe flags it, and
+    render_with_retry(probe_tiles=...) heals it bit-identically."""
+    scene, cam, cfg = setup
+    clean = render_radiance(scene, cam, cfg, 7)
+    corrupted = inject_tile_fault(clean, 1, 1, TILE, "silent")
+    assert tile_health(corrupted, TILE).all()  # loud check is blind to it
+
+    # Probe every tile (k >= n_tiles): exactly the corrupted one flags;
+    # the clean frame flags none (tie-break tolerance, no false alarms).
+    assert redundancy_probe(scene, cam, cfg, 7, corrupted, k=6,
+                            tile=TILE) == [(1, 1)]
+    assert redundancy_probe(scene, cam, cfg, 7, clean, k=6,
+                            tile=TILE) == []
+
+    def faulty_render(scene, cam, cfg, f):
+        return inject_tile_fault(render_radiance(scene, cam, cfg, f),
+                                 1, 1, TILE, "silent")
+
+    aovs, recovered = render_with_retry(
+        scene, cam, cfg, 7, faulty_render, tile=TILE, probe_tiles=6)
+    assert recovered == 1
+    np.testing.assert_array_equal(np.asarray(aovs.radiance),
+                                  np.asarray(clean.radiance))
 
 
 def test_persistent_fault_bounded_by_max_retries(setup):
