@@ -127,16 +127,28 @@ class RenderConfig:
     #                           bounce so backward memory stays O(wavefront)
     #                           instead of O(wavefront x bounces x ops).
     #                           BRUTE/UNIT are differentiable regardless.
-    bwd_checkpoint: bool = False  # differentiable mode: jax.checkpoint
-    #                           each bounce (backward recomputes the
-    #                           bounce interior; residual memory stays
-    #                           O(wavefront)). Default False = let the
-    #                           scan save every intermediate — measured
-    #                           1921 -> 1315 ms fwd+bwd at 1080p x 5
-    #                           bounces (campaign F [bwd2]); residuals
-    #                           ~1.6 GB at 1080p, ~6.5 GB at 4K — set
-    #                           True when they exceed HBM.
-    #                           Value/gradients identical either way.
+    bwd_checkpoint: bool | None = None  # differentiable mode:
+    #                           jax.checkpoint each bounce (backward
+    #                           recomputes the bounce interior; residual
+    #                           memory stays O(wavefront)). False = let
+    #                           the scan save every intermediate —
+    #                           measured 1921 -> 1315 ms fwd+bwd at
+    #                           1080p x 5 bounces (campaign F [bwd2]);
+    #                           residuals ~1.6 GB at 1080p, ~6.5 GB at
+    #                           4K x 5 bounces. None (default) = SHAPE-
+    #                           AWARE auto: estimate residual bytes
+    #                           (~BWD_RESID_BYTES_PER_SEG per lane-
+    #                           bounce) and checkpoint only when they
+    #                           exceed BWD_RESID_BUDGET (4 GB — leaves
+    #                           the v5e's 16 GB HBM room for the scene,
+    #                           wavefront state and the backward's own
+    #                           temporaries). Values/gradients are
+    #                           identical either way (tests/test_diff.py
+    #                           asserts both paths agree).
+    # Residual-estimate constants for the bwd_checkpoint=None auto rule
+    # (calibrated on the measured ~1.6 GB at 2.07M rays x 5 bounces).
+    bwd_resid_bytes_per_seg: int = 160
+    bwd_resid_budget: int = 4 << 30
     grad_attached: bool = False  # gradient strategy for the sampling terms
     #                           (Mitsuba's attached/detached distinction).
     #                           False (default) = DETACHED: the sampled
@@ -187,6 +199,12 @@ class RenderConfig:
     #                           786k (v2) / 256k (v3) / 524k (v3) —
     #                           campaign logs. Capped by the path-pool
     #                           size.
+    regen_sort_key: str = "morton"  # regen lane-sort key: "morton" =
+    #                           Morton(origin cell) x octant (round-4
+    #                           default); "chunk" = first chunk the ray
+    #                           enters x octant — aligns blocks with the
+    #                           kernel's unit of work (the chunk sweep)
+    #                           instead of raw origin locality.
     temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
     temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
     denoising: DenoisingMode = DenoisingMode.PROGRESSIVE

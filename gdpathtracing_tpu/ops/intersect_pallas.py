@@ -113,7 +113,7 @@ def _kernel(chunk_ref, o4_ref, d4_ref, mu_ref, mv_ref, mw_ref,
         tk = jnp.min(t, axis=1)                      # (BN,)
         k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
 
-        better = tk < cur
+        better = (tk < cur) & may_hit
         t_ref[i, :] = jnp.where(better, tk, cur)
         idx_ref[i, :] = jnp.where(better, j * BT + k, idx_ref[i, :])
 
@@ -177,7 +177,11 @@ def _closest_hit(o4t, d4t, chunk_bounds, mu, mv, mw, interpret=False):
 TAB_R = 40   # table rows (sublane-aligned)
 OUT_R = 48   # output rows: 0:40 table | 40 t | 41 u | 42 v | 43 w_d |
 #              44 eidx | 45 steps (triangles actually swept per ray —
-#              the real DEBUG_STEPS analog, main.glsl:358-361)
+#              the real DEBUG_STEPS analog, main.glsl:358-361) |
+#              46/47 block-sweep telemetry (every lane carries its
+#              BLOCK's taken-sweep count: 46 = phase-A chunk sweeps
+#              (superchunk entries for the sc kernel), 47 = phase-B
+#              shadow sweeps (chunk sweeps for the sc kernel))
 
 
 def build_trace_table(scene: Scene) -> jnp.ndarray:
@@ -284,12 +288,19 @@ def _uvw(x4, m3):
     return uvw[:, :bt], uvw[:, bt:2 * bt], uvw[:, 2 * bt:]
 
 
-def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base):
+def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base, may):
     """Sweep one BT-triangle chunk against the ray block and merge winners
     into the resident out block. `m3`: the chunk's (4, 3·BT) interleaved
     mu|mv|mw slice; `tab_chunk`: its (TAB_R, BT) table slice;
     `global_base`: expanded index of the chunk's first triangle (for the
-    eidx row)."""
+    eidx row); `may`: (BN,) per-ray slab-pass mask — the merge is gated
+    per ray so a ray only ever takes hits from chunks ITS OWN (inflated)
+    slab test passed, never from sweeps a neighboring lane forced. With
+    the lexicographic (t, eidx) tie rule this makes the traversal result
+    fully BLOCK-COMPOSITION INDEPENDENT: sorting, regeneration, sharding
+    and compaction cannot flip a hit (round-4's allclose-guarded
+    ~1e-4-pixel tie-break caveat is gone; _inflate_bounds keeps the gate
+    conservative against fp so real grazing hits are not lost)."""
     cur = out_ref[40, :]
     u_o, v_o, w_o = _uvw(o4, m3)
     u_d, v_d, w_d = _uvw(d4, m3)
@@ -303,7 +314,14 @@ def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base):
     t = jnp.where(valid, t, _MISS)
 
     tk = jnp.min(t, axis=1)                      # (BN,)
-    better = tk < cur
+    # Lexicographic (t, eidx) winner: exact-t ties resolve to the LOWEST
+    # expanded-triangle index regardless of chunk visit order, so the
+    # result is VISIT-ORDER INDEPENDENT (bit-stable under lane sorting,
+    # regeneration, sharding — any block composition) and matches the
+    # brute oracle's argmin rule. Within a chunk argmin already picks the
+    # first (lowest-eidx) minimum; `tie` handles cross-chunk ties.
+    better0 = (tk < cur) & may
+    tie = (tk == cur) & (tk < _MISS) & may
 
     # Winner merge only when some ray actually improved: the argmin, the
     # one-hot, three masked lane-reductions, the (TAB_R, BN) MXU row
@@ -311,9 +329,12 @@ def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base):
     # and on incoherent wavefronts most later chunks improve nobody.
     # pl.when-skipping them leaves out_ref holding the previous winner —
     # exactly the all-`better`-false result.
-    @pl.when(jnp.any(better))
+    @pl.when(jnp.any(better0 | tie))
     def _():
         k = jnp.argmin(t, axis=1).astype(jnp.int32)  # (BN,)
+        cur_e = out_ref[44, :]
+        better = better0 | (tie & ((global_base + k).astype(jnp.float32)
+                                   < cur_e))
         bf = better.astype(jnp.float32)
 
         # Winner one-hot (f32: Mosaic only inserts minor dims for 32-bit
@@ -343,23 +364,117 @@ def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base):
             better, (global_base + k).astype(jnp.float32), out_ref[44, :])
 
 
+def _block_chunk_queue(o4t, d4t, chunk_bounds, tmax=None, extra=None):
+    """(n_blocks, nc) i32 per-block PACKED chunk visit queue with sentinel
+    padding — the work-queue form of near-to-far ordered traversal.
+
+    Entry semantics: a value ``v < nc`` is a CANDIDATE chunk id — some
+    ray in the block passes the conservative slab test against it (the
+    exact per-ray test the kernel itself runs, minus the dynamic
+    ``tmin < cur`` cut). A value ``v >= nc`` is skip-padding encoding
+    chunk ``v - nc``: the kernel culls the whole step, and because the
+    encoded id repeats the block's LAST candidate, the streaming index
+    map keeps the same chunk block resident — Pallas elides the DMA for
+    consecutive equal block indices, so a padded grid step costs one
+    scalar compare instead of a chunk DMA + slab sweep. Previous rounds
+    ordered ALL nc chunks per block (centroid-distance argsort), so
+    every culled chunk still paid its streaming DMA each step.
+
+    Candidates are ordered near-to-far by the block-min entry distance
+    (min over passing rays of max(tmin, 0)): front-to-back is what makes
+    the in-kernel ``tmin < cur`` cull fire, the stackless analog of
+    ordered BVH descent (main.glsl:337-338). The winner is visit-order
+    independent, so results are unchanged; only swept-chunk counts drop.
+
+    ``tmax``: optional (N,) per-ray upper bound (shadow rays) — chunks
+    entered beyond it are not candidates. ``extra=(o4t, d4t, tmax)``: a
+    second ray set sharing the sweep (fused NEE phase B); the queue is
+    the union of both sets' candidates, keyed by the elementwise-min
+    distance. Parked rays (origin 1e9, diagonal direction) fail every
+    slab and contribute no candidates. The per-ray slab here runs in
+    XLA; a tiny slack keeps it conservative against Mosaic's fp
+    association so a kernel-swept chunk is always a candidate."""
+    nc = chunk_bounds.shape[1]
+    nb = o4t.shape[1] // BN
+
+    def set_key(o4t, d4t, tmax_b):
+        ox, oy, oz = o4t[0], o4t[1], o4t[2]
+        dx, dy, dz = d4t[0], d4t[1], d4t[2]
+        rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
+        cols = []
+        for c in range(nc):
+            tmin, tmax_ = _slab(chunk_bounds[:, c], 0, ox, oy, oz,
+                                rdx, rdy, rdz)
+            slack = 1e-5 * jnp.abs(tmax_) + 1e-6
+            ok = (tmax_ + slack >= tmin) & (tmax_ > -1e-6)
+            if tmax_b is not None:
+                ok = ok & (tmin < tmax_b + slack)
+            key = jnp.where(ok, jnp.maximum(tmin, 0.0), jnp.inf)
+            cols.append(jnp.min(key.reshape(nb, BN), axis=1))
+        return jnp.stack(cols, axis=1)  # (nb, nc)
+
+    key = set_key(o4t, d4t, tmax)
+    if extra is not None:
+        key = jnp.minimum(key, set_key(*extra))
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    ncand = jnp.sum(jnp.isfinite(key), axis=1).astype(jnp.int32)
+    last = order[jnp.arange(nb), jnp.maximum(ncand - 1, 0)]
+    iota = jnp.arange(nc, dtype=jnp.int32)[None, :]
+    return jnp.where(iota < ncand[:, None], order,
+                     last[:, None] + jnp.int32(nc))
+
+
+SUB = 2      # sub-chunks per chunk for the phase-B (shadow any-hit)
+#              refinement: each swept chunk is slab-culled again at
+#              BT//SUB = 128-triangle granularity before its sub-sweep.
+#              128 is the sweet spot: VPU arrays pad their minor dim to
+#              128 lanes anyway, so a 64-wide sub-sweep costs the same
+#              as a 128-wide one — only the extra slab tests would pay.
+
+
+def _inflate_bounds(cb):
+    """(8, nc) bounds → slightly inflated copy. The per-ray merge gate
+    (see _sweep_update `may`) requires that a ray whose triangle-hit the
+    sweep would find always passes ITS OWN slab test; inflating by ~100
+    ulp absorbs the fp slack between slab arithmetic and exact geometric
+    containment. Pure conservatism — sweeps can only fire more often."""
+    lo, hi, pad = cb[0:3], cb[3:6], cb[6:8]
+    eps = 1e-5 * jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1e-6
+    return jnp.concatenate([lo - eps, hi + eps, pad], axis=0)
+
+
+def _sub_bounds(scene: Scene) -> jnp.ndarray:
+    """(SUB·nc·8,) flattened sub-chunk AABBs (same [min3|max3|pad2] row
+    layout as chunk bounds) over the expanded triangle list, computed
+    from world-space vertices (tri_pos × inst_transform). Pad triangles
+    (zero unit-matrix columns) get an empty box so they never inflate a
+    sub-chunk. E-sized, traced once per program (hoist via prep)."""
+    tf = scene.inst_transform[scene.isect_inst]      # (E, 3, 4)
+    tp = scene.tri_pos[scene.isect_tri]              # (E, 3, 3) object
+    world = jnp.einsum("eab,evb->eva", tf[:, :, :3], tp) \
+        + tf[:, None, :, 3]                          # (E, 3, 3) world
+    real = (jnp.abs(scene.isect_mu).sum(axis=0) > 0.0)[:, None]  # (E, 1)
+    vlo = jnp.where(real, world.min(axis=1), jnp.inf)    # (E, 3)
+    vhi = jnp.where(real, world.max(axis=1), -jnp.inf)
+    e = vlo.shape[0]
+    ns = e // (BT // SUB)
+    lo = vlo.reshape(ns, BT // SUB, 3).min(axis=1)
+    hi = vhi.reshape(ns, BT // SUB, 3).max(axis=1)
+    # Empty sub-chunks (all pads): point box far away → slab never passes.
+    empty = ~jnp.isfinite(lo[:, 0])
+    lo = jnp.where(empty[:, None], 1e30, lo)
+    hi = jnp.where(empty[:, None], 1e30, hi)
+    return _inflate_bounds(
+        jnp.concatenate([lo, hi, jnp.zeros((ns, 2), jnp.float32)],
+                        axis=1).T).T.reshape(-1)
+
+
 def _block_chunk_order(o4t, chunk_bounds, extra_o4t=None):
-    """(n_blocks, nc) i32: per-ray-block NEAR-TO-FAR chunk visit order.
-
-    Front-to-back sweep order is what makes the `tmin < cur` cull fire:
-    once a block's rays find hits in near chunks, far chunks fail the
-    slab test for the whole block and are skipped — the stackless analog
-    of ordered BVH descent (main.glsl:337-338 culls children against the
-    current hit the same way). The winner is visit-order independent, so
-    results are unchanged; only the number of swept chunks (steps AOV)
-    drops. Key = squared distance from the block's live-ray origin
-    centroid to the chunk AABB. Parked rays (origin 1e9) are excluded
-    from the centroid; all-dead blocks order arbitrarily (every chunk is
-    slab-culled for them anyway).
-
-    `extra_o4t` (fused NEE kernel): a second ray set sharing the sweep —
-    its live origins join the centroid so one order serves both phases
-    (occlusion is OR-reduced and thus order-independent anyway)."""
+    """(n_blocks, nc) i32 near-to-far chunk order by block ORIGIN-CENTROID
+    distance (no candidacy packing). Kept for the MEGA kernel, whose
+    fused phase-A/B grid walks one shared full order; the wavefront
+    kernels all use `_block_chunk_queue` (exact per-ray candidacy +
+    sentinel skip-steps) instead."""
     nc = chunk_bounds.shape[1]
     ox = o4t[0].reshape(-1, BN)
     oy = o4t[1].reshape(-1, BN)
@@ -385,6 +500,15 @@ def _block_chunk_order(o4t, chunk_bounds, extra_o4t=None):
     return jnp.argsort(dist2, axis=1).astype(jnp.int32)
 
 
+def _queue_decode(nc: int):
+    """Scalar-prefetch index map helper: decode a queue entry to its
+    chunk block index (sentinel entries map back to the repeated last
+    candidate, keeping the resident block unchanged → no DMA)."""
+    def decode(v):
+        return jnp.where(v >= nc, v - nc, v)
+    return decode
+
+
 def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, m3_ref,
                  tab_ref, out_ref):
     i = pl.program_id(0)
@@ -400,14 +524,15 @@ def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, m3_ref,
     cur = out_ref[40, :]
 
     bt = m3_ref.shape[1] // 3
-    nc = tab_ref.shape[1] // bt
-    cid = order_ref[i * nc + j]  # this block's j-th nearest chunk
+    nc = pl.num_programs(1)
+    v = order_ref[i * nc + j]  # this block's j-th queue entry
+    cid = jnp.where(v >= nc, v - nc, v)  # sentinel decode (skip-step)
 
     ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
     tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
                        _rcp(dx), _rcp(dy), _rcp(dz))
-    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur) & (v < nc)
 
     @pl.when(jnp.any(may_hit))
     def _():
@@ -416,8 +541,11 @@ def _kernel_rows(chunk_ref, order_ref, o4_ref, d4_ref, m3_ref,
         # culled ray's lanes do no useful work — count the chunk for the
         # rays that actually needed it).
         out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
+        # Row 46: sweeps this BLOCK actually took (telemetry — every lane
+        # carries the block's count; divergence shows as 46 >> 45/BT).
+        out_ref[46, :] = out_ref[46, :] + 1.0
         _sweep_update(out_ref, o4, d4, m3_ref[...],
-                      tab_ref[:, pl.ds(cid * bt, bt)], cid * bt)
+                      tab_ref[:, pl.ds(cid * bt, bt)], cid * bt, may_hit)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -434,13 +562,16 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, m3, tab,
     nc = e // BT
     grid = (n // BN, nc)
 
-    # Per-block near-to-far chunk visit order, consumed both by the
-    # streaming index maps (which chunk block to DMA at step (i, j)) and
-    # by the kernel (slab-bounds / table offsets of that chunk).
-    order = _block_chunk_order(o4t, chunk_bounds).reshape(-1)
+    # Per-block packed candidate queue (near-to-far + sentinel padding),
+    # consumed both by the streaming index maps (which chunk block to DMA
+    # at step (i, j) — sentinel steps keep the previous block resident,
+    # eliding the DMA) and by the kernel (slab bounds / table offsets).
+    chunk_bounds = _inflate_bounds(chunk_bounds)
+    order = _block_chunk_queue(o4t, d4t, chunk_bounds).reshape(-1)
+    dec = _queue_decode(nc)
 
     def cmap(i, j, cb_ref, ord_ref):
-        return (0, ord_ref[i * nc + j])
+        return (0, dec(ord_ref[i * nc + j]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -471,8 +602,9 @@ def _closest_hit_rows(o4t, d4t, chunk_bounds, m3, tab,
     return out
 
 
-def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
-                     stmax_ref, m3_ref, tab_ref, out_ref, occ_ref):
+def _kernel_rows_nee(chunk_ref, sub_ref, order_ref, o4_ref, d4_ref,
+                     so4_ref, sd4_ref, stmax_ref, m3_ref, tab_ref,
+                     out_ref, occ_ref):
     """Fused per-bounce sweep: phase A closest-hit for the bounce rays +
     phase B any-hit occlusion for the PREVIOUS bounce's shadow rays, in the
     same (ray-block x chunk) grid step — both phases share the step's
@@ -493,8 +625,10 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
         occ_ref[0, :] = jnp.zeros((occ_ref.shape[1],), jnp.int32)
 
     bt = m3_ref.shape[1] // 3
-    nc = tab_ref.shape[1] // bt
-    cid = order_ref[i * nc + j]
+    nc = pl.num_programs(1)
+    v = order_ref[i * nc + j]
+    cid = jnp.where(v >= nc, v - nc, v)  # sentinel decode (skip-step)
+    is_real = v < nc
 
     # Phase A — identical to _kernel_rows.
     o4 = o4_ref[...]
@@ -504,13 +638,14 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
     tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
                        _rcp(dx), _rcp(dy), _rcp(dz))
-    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur) & is_real
 
     @pl.when(jnp.any(may_hit))
     def _():
         out_ref[45, :] = out_ref[45, :] + jnp.where(may_hit, float(bt), 0.0)
+        out_ref[46, :] = out_ref[46, :] + 1.0  # phase-A block sweeps
         _sweep_update(out_ref, o4, d4, m3_ref[...],
-                      tab_ref[:, pl.ds(cid * bt, bt)], cid * bt)
+                      tab_ref[:, pl.ds(cid * bt, bt)], cid * bt, may_hit)
 
     # Phase B — identical to _occlusion_kernel's update; skips once the
     # whole shadow block is resolved (occ != 0) or culled.
@@ -522,26 +657,52 @@ def _kernel_rows_nee(chunk_ref, order_ref, o4_ref, d4_ref, so4_ref, sd4_ref,
     sdx, sdy, sdz = sd4[0, :], sd4[1, :], sd4[2, :]
     smin, smax = _slab(chunk_ref, cid * 8, sox, soy, soz,
                        _rcp(sdx), _rcp(sdy), _rcp(sdz))
-    s_may = (smax >= smin) & (smax > 0.0) & (smin < s_tmax) & (occ == 0)
+    s_may = (smax >= smin) & (smax > 0.0) & (smin < s_tmax) & (occ == 0) \
+        & is_real
 
     @pl.when(jnp.any(s_may))
     def _():
+        out_ref[47, :] = out_ref[47, :] + 1.0  # phase-B block sweeps
         m3 = m3_ref[...]
-        u_o, v_o, w_o = _uvw(so4, m3)
-        u_d, v_d, w_d = _uvw(sd4, m3)
-        wd_ok = jnp.abs(w_d) > _WD_EPS
-        inv_wd = jnp.where(wd_ok, w_d, 1.0)
-        t = -w_o / inv_wd
-        u = u_o + t * u_d
-        v = v_o + t * v_d
-        blocked = wd_ok & (t > 0.0) & (t < s_tmax[:, None]) & (u >= 0.0) & \
-            (v >= 0.0) & (u + v <= 1.0)
-        occ_ref[0, :] = occ | jnp.any(blocked, axis=1).astype(jnp.int32)
+        sw = bt // SUB
+        # Sub-chunk refinement: re-cull at BT//SUB granularity before
+        # each sub-sweep — a shadow segment grazing a chunk AABB usually
+        # crosses only one of its (spatially disjoint, Morton-ordered)
+        # halves, and an any-hit query has no winner bookkeeping, so the
+        # narrow sweep is pure savings (the finer-than-block resolution
+        # culling VERDICT r4 item 3 called for).
+        for s in range(SUB):
+            ssmin, ssmax = _slab(sub_ref, (cid * SUB + s) * 8,
+                                 sox, soy, soz,
+                                 _rcp(sdx), _rcp(sdy), _rcp(sdz))
+            occ_now = occ_ref[0, :]
+            s_may_s = (ssmax >= ssmin) & (ssmax > 0.0) & \
+                (ssmin < s_tmax) & (occ_now == 0)
+
+            @pl.when(jnp.any(s_may_s))
+            def _(s=s, occ_now=occ_now):
+                mu_s = m3[:, s * sw:(s + 1) * sw]
+                mv_s = m3[:, bt + s * sw:bt + (s + 1) * sw]
+                mw_s = m3[:, 2 * bt + s * sw:2 * bt + (s + 1) * sw]
+                w_o = _mm(so4, mw_s)
+                w_d = _mm(sd4, mw_s)
+                wd_ok = jnp.abs(w_d) > _WD_EPS
+                inv_wd = jnp.where(wd_ok, w_d, 1.0)
+                t = -w_o / inv_wd
+                u = _mm(so4, mu_s) + t * _mm(sd4, mu_s)
+                v2 = _mm(so4, mv_s) + t * _mm(sd4, mv_s)
+                # Mosaic can only insert minor dims for 32-bit types:
+                # broadcast the per-ray gate as i32, not bool.
+                gate = s_may_s.astype(jnp.int32)[:, None] > 0
+                blocked = wd_ok & (t > 0.0) & (t < s_tmax[:, None]) & \
+                    (u >= 0.0) & (v2 >= 0.0) & (u + v2 <= 1.0) & gate
+                occ_ref[0, :] = occ_now | \
+                    jnp.any(blocked, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
-                          m3, tab, interpret=False):
+                          sub_flat, m3, tab, interpret=False):
     """Fused dispatch: (OUT_R, N) packed closest-hit rows for (o4t, d4t)
     AND (N,) i32 occlusion flags for the shadow set (so4t, sd4t, stmax).
     Flat (≤16-chunk) scenes only — superchunk scenes keep the separate
@@ -551,14 +712,19 @@ def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
     nc = e // BT
     grid = (n // BN, nc)
 
-    order = _block_chunk_order(o4t, chunk_bounds,
-                               extra_o4t=so4t).reshape(-1)
+    # Union queue: a chunk is a candidate if EITHER phase's rays pass
+    # its slab (phase B bounded by stmax); keyed by the min entry
+    # distance so one near-to-far order serves both phases.
+    chunk_bounds = _inflate_bounds(chunk_bounds)
+    order = _block_chunk_queue(o4t, d4t, chunk_bounds,
+                               extra=(so4t, sd4t, stmax)).reshape(-1)
+    dec = _queue_decode(nc)
 
-    def cmap(i, j, cb_ref, ord_ref):
-        return (0, ord_ref[i * nc + j])
+    def cmap(i, j, cb_ref, sub_ref, ord_ref):
+        return (0, dec(ord_ref[i * nc + j]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),   # o4
@@ -591,7 +757,7 @@ def _closest_hit_rows_nee(o4t, d4t, so4t, sd4t, stmax, chunk_bounds,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, so4t, sd4t,
+    )(chunk_bounds.T.reshape(-1), sub_flat, order, o4t, d4t, so4t, sd4t,
       stmax.reshape(1, n), m3, tab)
     return out, occ.reshape(-1)
 
@@ -606,9 +772,9 @@ def trace_occlude_pallas(scene: Scene, ray: Ray, active,
     though its transport has no NEE — README.md:36 wishlist). Returns
     (HitInfo-with-rows, occluded: (N,) bool). t/u/v/occ match the separate
     trace_pallas / occluded_pallas calls up to visit-order-dependent
-    tie-breaks: sharing the shadow origins in `_block_chunk_order`'s
-    centroid can permute a block's chunk visit order, so exact-t ties may
-    pick a different winning triangle and the steps AOV may differ —
+    tie-breaks: the union candidate queue (`_block_chunk_queue` with the
+    shadow set) can permute a block's chunk visit order, so exact-t ties
+    may pick a different winning triangle and the steps AOV may differ —
     tests/test_nee.py::test_trace_occlude_pallas_unit covers the
     practical equality."""
     interpret = interpret or _FORCE_INTERPRET
@@ -652,7 +818,7 @@ def trace_occlude_pallas(scene: Scene, ray: Ray, active,
         "trace_occlude_pallas is flat-scene only (≤16 chunks)"
     rows, occ = _closest_hit_rows_nee(
         o4t, d4t, so4t, sd4t, pad(stm), scene.isect_chunk_bounds,
-        prep.m3, prep.tab, interpret=interpret)
+        prep.sub_flat, prep.m3, prep.tab, interpret=interpret)
     rows = rows[:, :n]
     occ = occ[:n]
 
@@ -701,7 +867,8 @@ def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, m3_ref,
         out_ref[40, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
 
     nsc = pl.num_programs(1)
-    scid = ord_ref[i * nsc + j]
+    qv = ord_ref[i * nsc + j]
+    scid = jnp.where(qv >= nsc, qv - nsc, qv)  # sentinel decode
 
     o4 = o4_ref[...]
     d4 = d4_ref[...]
@@ -711,24 +878,27 @@ def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, m3_ref,
 
     cur = out_ref[40, :]
     s_tmin, s_tmax = _slab(sc_ref, scid * 8, ox, oy, oz, rdx, rdy, rdz)
-    sc_may = (s_tmax >= s_tmin) & (s_tmax > 0.0) & (s_tmin < cur)
+    sc_may = (s_tmax >= s_tmin) & (s_tmax > 0.0) & (s_tmin <= cur) \
+        & (qv < nsc)
 
     @pl.when(jnp.any(sc_may))
     def _():
+        out_ref[46, :] = out_ref[46, :] + 1.0  # superchunk entries (telem)
         for c in range(scc):  # static unroll
             cur_c = out_ref[40, :]
             tmin, tmax = _slab(chunk_ref, (scid * scc + c) * 8,
                                ox, oy, oz, rdx, rdy, rdz)
-            may = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur_c)
+            may = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur_c)
 
             @pl.when(jnp.any(may))
             def _(c=c, may=may):
                 out_ref[45, :] = out_ref[45, :] + \
                     jnp.where(may, float(BT), 0.0)
+                out_ref[47, :] = out_ref[47, :] + 1.0  # chunk sweeps
                 _sweep_update(out_ref, o4, d4,
                               m3_ref[:, pl.ds(c * 3 * BT, 3 * BT)],
                               tab_ref[:, pl.ds(c * BT, BT)],
-                              (scid * scc + c) * BT)
+                              (scid * scc + c) * BT, may)
 
 
 @functools.partial(jax.jit, static_argnames=("scc", "interpret"))
@@ -740,12 +910,17 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, m3, tab,
     grid = (n // BN, nsc)
     bts = BT * scc
 
-    # Per-block near-to-far SUPERCHUNK visit order (sc_flat rows are the
-    # same 8-float [min3|max3|pad2] layout as chunk bounds).
-    order = _block_chunk_order(o4t, sc_flat.reshape(nsc, 8).T).reshape(-1)
+    # Per-block packed SUPERCHUNK candidate queue (sc_flat rows are the
+    # same 8-float [min3|max3|pad2] layout as chunk bounds). Sentinel
+    # padding matters most here: a skipped superchunk step would
+    # otherwise stream its (4, 3·SCC·BT) m3 + (TAB_R, SCC·BT) table
+    # blocks (~850 KB) just to fail one slab test.
+    order = _block_chunk_queue(o4t, d4t,
+                               sc_flat.reshape(nsc, 8).T).reshape(-1)
+    dec = _queue_decode(nsc)
 
     def scmap(i, j, sc_ref, cb_ref, ord_ref):
-        return (0, ord_ref[i * nsc + j])
+        return (0, dec(ord_ref[i * nsc + j]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # superchunk + chunk bounds + order → SMEM
@@ -781,6 +956,8 @@ class _TracePrep(NamedTuple):
     tab: jnp.ndarray          # (40, E_pad)
     chunk_flat: jnp.ndarray   # (nc_pad*8,) scalar-prefetch chunk bounds
     sc_flat: jnp.ndarray      # (nsc*8,) superchunk bounds (sc path only)
+    sub_flat: jnp.ndarray     # (SUB*nc*8,) sub-chunk bounds (flat path —
+    #                           phase-B any-hit refinement)
 
 
 def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
@@ -802,8 +979,10 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
                           scene.isect_mw,
                           _m3_layout(scene.isect_mu, scene.isect_mv,
                                      scene.isect_mw), tab,
-                          scene.isect_chunk_bounds.T.reshape(-1),
-                          jnp.zeros(8, jnp.float32))
+                          _inflate_bounds(
+                              scene.isect_chunk_bounds).T.reshape(-1),
+                          jnp.zeros(8, jnp.float32),
+                          _sub_bounds(scene))
 
     nc_pad = -(-nc // scc) * scc
     e_pad = nc_pad * BT
@@ -830,7 +1009,9 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
     sc = jnp.concatenate([mins.min(axis=2), maxs.max(axis=2),
                           jnp.zeros((2, nsc), jnp.float32)], axis=0)
     return _TracePrep(True, mu, mv, mw, _m3_layout(mu, mv, mw), tab,
-                      cb_pad.T.reshape(-1), sc.T.reshape(-1))
+                      _inflate_bounds(cb_pad).T.reshape(-1),
+                      _inflate_bounds(sc).T.reshape(-1),
+                      jnp.zeros(8, jnp.float32))
 
 
 def trace_pallas(scene: Scene, ray: Ray, active=None,
@@ -897,26 +1078,12 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
                    front=front, steps=steps, eidx=eidx, rows=rows)
 
 
-def trace_pallas_diff(scene: Scene, ray: Ray, active=None,
-                      interpret: bool = False,
-                      prep: "_TracePrep | None" = None) -> HitInfo:
-    """Differentiable PALLAS traversal (VERDICT r1 item 3): the kernel runs
-    as a pure primal hit-FINDER (all inputs/outputs stop-gradient'ed, so
-    autodiff never touches the Pallas primitive), and the hit record
-    (t, u, v, front) is RECOMPUTED differentiably from the winner's packed
-    intersection columns — one contiguous (N, 12) gather — exactly the
-    trace_pallas_classic epilogue. The returned HitInfo carries eidx but no
-    rows, so shading takes get_shading_data_fast: live material/texture
-    gathers through which ``jax.grad`` flows (albedo, emission, roughness,
-    textures; geometry/camera via the recomputed t). Same primal values as
-    trace_pallas up to fp-association of the recompute."""
-    interpret = interpret or _FORCE_INTERPRET
+def _diff_epilogue(scene: Scene, ray: Ray, hit0: HitInfo) -> HitInfo:
+    """Differentiable recompute of (t, u, v) for the primal winner
+    `hit0.eidx` from the live ``scene.isect_cols`` — one contiguous
+    (N, 12) gather + 4-term dots (the trace_pallas_classic epilogue).
+    Shared by trace_pallas_diff and trace_occlude_pallas_diff."""
     sg = jax.lax.stop_gradient
-    if prep is not None:  # sg array fields; keep the python-bool flag
-        prep = _TracePrep(prep.superchunks, *(sg(a) for a in prep[1:]))
-    hit0 = trace_pallas(sg(scene), Ray(sg(ray.o), sg(ray.d)),
-                        None if active is None else sg(active),
-                        interpret=interpret, prep=prep)
     eidx = sg(hit0.eidx)
     is_hit = sg(hit0.t) < MISS_T
 
@@ -947,6 +1114,52 @@ def trace_pallas_diff(scene: Scene, ray: Ray, active=None,
     return HitInfo(t=t, tri=hit0.tri, inst=hit0.inst,
                    u=jnp.clip(u, 0.0, 1.0), v=jnp.clip(v, 0.0, 1.0),
                    front=hit0.front, steps=hit0.steps, eidx=eidx)
+
+
+def trace_pallas_diff(scene: Scene, ray: Ray, active=None,
+                      interpret: bool = False,
+                      prep: "_TracePrep | None" = None) -> HitInfo:
+    """Differentiable PALLAS traversal (VERDICT r1 item 3): the kernel runs
+    as a pure primal hit-FINDER (all inputs/outputs stop-gradient'ed, so
+    autodiff never touches the Pallas primitive), and the hit record
+    (t, u, v, front) is RECOMPUTED differentiably from the winner's packed
+    intersection columns — one contiguous (N, 12) gather — exactly the
+    trace_pallas_classic epilogue. The returned HitInfo carries eidx but no
+    rows, so shading takes get_shading_data_fast: live material/texture
+    fetches through which ``jax.grad`` flows (albedo, emission, roughness,
+    textures; geometry/camera via the recomputed t). Same primal values as
+    trace_pallas up to fp-association of the recompute."""
+    interpret = interpret or _FORCE_INTERPRET
+    sg = jax.lax.stop_gradient
+    if prep is not None:  # sg array fields; keep the python-bool flag
+        prep = _TracePrep(prep.superchunks, *(sg(a) for a in prep[1:]))
+    hit0 = trace_pallas(sg(scene), Ray(sg(ray.o), sg(ray.d)),
+                        None if active is None else sg(active),
+                        interpret=interpret, prep=prep)
+    return _diff_epilogue(scene, ray, hit0)
+
+
+def trace_occlude_pallas_diff(scene: Scene, ray: Ray, active,
+                              sh_ray: Ray, sh_tmax, sh_active,
+                              interpret: bool = False,
+                              prep: "_TracePrep | None" = None):
+    """Differentiable wrapper over the FUSED closest-hit + shadow-any-hit
+    dispatch (VERDICT r4 item 5): the fused kernel runs as a primal
+    finder on stop-gradient inputs — hard shadow visibility is detached
+    anyway (zero a.e. derivative) — and the closest hit is recomputed
+    differentiably via `_diff_epilogue`. Gives the differentiable
+    integrator the same one-dispatch-per-bounce NEE fusion as the primal
+    path instead of the separate occluded_pallas dispatch."""
+    interpret = interpret or _FORCE_INTERPRET
+    sg = jax.lax.stop_gradient
+    if prep is not None:
+        prep = _TracePrep(prep.superchunks, *(sg(a) for a in prep[1:]))
+    hit0, occ = trace_occlude_pallas(
+        sg(scene), Ray(sg(ray.o), sg(ray.d)),
+        None if active is None else sg(active),
+        Ray(sg(sh_ray.o), sg(sh_ray.d)),
+        sg(sh_tmax), sg(sh_active), interpret=interpret, prep=prep)
+    return _diff_epilogue(scene, ray, hit0), occ
 
 
 def trace_pallas_classic(scene: Scene, ray: Ray, active=None,
@@ -1017,8 +1230,8 @@ def trace_pallas_classic(scene: Scene, ray: Ray, active=None,
                    front=front, steps=steps, eidx=idx)
 
 
-def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
-                      m3_ref, occ_ref):
+def _occlusion_kernel(chunk_ref, sub_ref, ord_ref, o4_ref, d4_ref,
+                      tmax_ref, m3_ref, occ_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -1035,7 +1248,8 @@ def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
     # are found first, so whole blocks resolve (`occ == 0` fails) early
     # and the remaining chunks are skipped.
     nc = pl.num_programs(1)
-    cid = ord_ref[i * nc + j]
+    v = ord_ref[i * nc + j]
+    cid = jnp.where(v >= nc, v - nc, v)  # sentinel decode (skip-step)
 
     ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
@@ -1055,37 +1269,59 @@ def _occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
     tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
                                    jnp.maximum(ty1, ty2)),
                        jnp.maximum(tz1, tz2))
-    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & (occ == 0)
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & (occ == 0) \
+        & (v < nc)
 
     @pl.when(jnp.any(may_hit))
     def _():
         m3 = m3_ref[...]
-        u_o, v_o, w_o = _uvw(o4, m3)
-        u_d, v_d, w_d = _uvw(d4, m3)
-        wd_ok = jnp.abs(w_d) > _WD_EPS
-        inv_wd = jnp.where(wd_ok, w_d, 1.0)
-        t = -w_o / inv_wd
-        u = u_o + t * u_d
-        v = v_o + t * v_d
-        blocked = wd_ok & (t > 0.0) & (t < t_max[:, None]) & (u >= 0.0) & \
-            (v >= 0.0) & (u + v <= 1.0)
-        occ_ref[i, :] = occ | jnp.any(blocked, axis=1).astype(jnp.int32)
+        bt = m3.shape[1] // 3
+        sw = bt // SUB
+        # Sub-chunk refinement (see _kernel_rows_nee phase B).
+        for s in range(SUB):
+            ssmin, ssmax = _slab(sub_ref, (cid * SUB + s) * 8,
+                                 ox, oy, oz, rdx, rdy, rdz)
+            occ_now = occ_ref[i, :]
+            may_s = (ssmax >= ssmin) & (ssmax > 0.0) & \
+                (ssmin < t_max) & (occ_now == 0)
+
+            @pl.when(jnp.any(may_s))
+            def _(s=s, occ_now=occ_now):
+                mu_s = m3[:, s * sw:(s + 1) * sw]
+                mv_s = m3[:, bt + s * sw:bt + (s + 1) * sw]
+                mw_s = m3[:, 2 * bt + s * sw:2 * bt + (s + 1) * sw]
+                w_o = _mm(o4, mw_s)
+                w_d = _mm(d4, mw_s)
+                wd_ok = jnp.abs(w_d) > _WD_EPS
+                inv_wd = jnp.where(wd_ok, w_d, 1.0)
+                t = -w_o / inv_wd
+                u = _mm(o4, mu_s) + t * _mm(d4, mu_s)
+                v2 = _mm(o4, mv_s) + t * _mm(d4, mv_s)
+                gate = may_s.astype(jnp.int32)[:, None] > 0
+                blocked = wd_ok & (t > 0.0) & (t < t_max[:, None]) & \
+                    (u >= 0.0) & (v2 >= 0.0) & (u + v2 <= 1.0) & gate
+                occ_ref[i, :] = occ_now | \
+                    jnp.any(blocked, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _occlusion(o4t, d4t, t_max, chunk_bounds, m3, interpret=False):
+def _occlusion(o4t, d4t, t_max, chunk_bounds, sub_flat, m3,
+               interpret=False):
     n = o4t.shape[1]
     e = m3.shape[1] // 3
     nc = e // BT
     grid = (n // BN, nc)
     gr = grid[0]
-    order = _block_chunk_order(o4t, chunk_bounds).reshape(-1)
+    chunk_bounds = _inflate_bounds(chunk_bounds)
+    order = _block_chunk_queue(o4t, d4t, chunk_bounds,
+                               tmax=t_max).reshape(-1)
+    dec = _queue_decode(nc)
 
-    def cmap(i, j, cb_ref, ord_ref):
-        return (0, ord_ref[i * nc + j])
+    def cmap(i, j, cb_ref, sub_ref, ord_ref):
+        return (0, dec(ord_ref[i * nc + j]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
@@ -1101,8 +1337,8 @@ def _occlusion(o4t, d4t, t_max, chunk_bounds, m3, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((gr, BN), jnp.int32,
                                         vma=out_vma(o4t, d4t, m3))],
         interpret=interpret,
-    )(chunk_bounds.T.reshape(-1), order, o4t, d4t, t_max.reshape(gr, BN),
-      m3)
+    )(chunk_bounds.T.reshape(-1), sub_flat, order, o4t, d4t,
+      t_max.reshape(gr, BN), m3)
     return occ.reshape(-1)
 
 
@@ -1110,7 +1346,8 @@ def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
                     interpret: bool = False) -> jnp.ndarray:
     """Any-hit query: True where something blocks `ray` before `t_max`.
     Cheaper than closest-hit (no argmin/record keeping; chunks skip once a
-    block is fully occluded or culled)."""
+    block is fully occluded or culled; sub-chunk refinement narrows each
+    taken sweep)."""
     interpret = interpret or _FORCE_INTERPRET
     n = ray.o.x.shape[0]
     n_pad = -(-n // BN) * BN
@@ -1136,6 +1373,7 @@ def occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
     d4t = jnp.stack([pad(dx, 1.0), pad(dy, 1.0), pad(dz, 1.0),
                      pad(dx * 0)], axis=0)
     occ = _occlusion(o4t, d4t, pad(tm), scene.isect_chunk_bounds,
+                     _sub_bounds(scene),
                      _m3_layout(scene.isect_mu, scene.isect_mv,
                                 scene.isect_mw),
                      interpret=interpret)[:n]
@@ -1174,7 +1412,8 @@ def _soft_occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
     cur = marg_ref[i, :]
 
     nc = pl.num_programs(1)
-    cid = ord_ref[i * nc + j]
+    qv = ord_ref[i * nc + j]
+    cid = jnp.where(qv >= nc, qv - nc, qv)  # sentinel decode (skip-step)
 
     ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
     dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
@@ -1183,8 +1422,9 @@ def _soft_occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
     # No `occ` early-out (a max cannot resolve early); the slab test is
     # conservative for the in-range triangles of this chunk (a near-miss
     # point lies within ~eps·edge of the triangle, i.e. essentially inside
-    # the chunk AABB the triangle is contained in).
-    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max)
+    # the chunk AABB the triangle is contained in — and the wrapper
+    # inflates the bounds by the near-miss band width).
+    may_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_max) & (qv < nc)
 
     @pl.when(jnp.any(may_hit))
     def _():
@@ -1212,12 +1452,16 @@ def _soft_occlusion_kernel(chunk_ref, ord_ref, o4_ref, d4_ref, tmax_ref,
         in_t = wd_ok & (t > 1e-6) & (t < t_max[:, None]) & int_ok
         m = jnp.where(in_t, m_open, -1e9)
         mk = jnp.max(m, axis=1)                       # (BN,)
-        better = mk > cur
+        # Lexicographic (margin, eidx) winner — visit-order independent
+        # (same rationale as _sweep_update's tie rule).
+        better0 = (mk > cur) & may_hit
+        tie = (mk == cur) & (mk > -1e8) & may_hit
 
-        @pl.when(jnp.any(better))
+        @pl.when(jnp.any(better0 | tie))
         def _():
             bt = m.shape[1]
             k = jnp.argmax(m, axis=1).astype(jnp.int32)
+            better = better0 | (tie & (cid * bt + k < idx_ref[i, :]))
             marg_ref[i, :] = jnp.where(better, mk, cur)
             idx_ref[i, :] = jnp.where(better, cid * bt + k, idx_ref[i, :])
 
@@ -1230,10 +1474,12 @@ def _soft_occlusion(o4t, d4t, t_max, chunk_bounds, m3, eo4,
     nc = e // BT
     grid = (n // BN, nc)
     gr = grid[0]
-    order = _block_chunk_order(o4t, chunk_bounds).reshape(-1)
+    order = _block_chunk_queue(o4t, d4t, chunk_bounds,
+                               tmax=t_max).reshape(-1)
+    dec = _queue_decode(nc)
 
     def cmap(i, j, cb_ref, ord_ref):
-        return (0, ord_ref[i * nc + j])
+        return (0, dec(ord_ref[i * nc + j]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1300,8 +1546,22 @@ def soft_occluded_pallas(scene: Scene, ray: Ray, t_max, active=None,
     eo_n = sg(scene.tri_edge_open)[sg(scene.isect_tri)]  # (E, 3)
     eo4 = jnp.concatenate(
         [eo_n.T, jnp.zeros((1, eo_n.shape[0]), jnp.float32)], axis=0)
+    # Inflate the chunk slabs by ~the width of the near-miss band
+    # (margin within a few edge_eps of zero ≈ edge_eps × edge length in
+    # world units; edge length bounded by the chunk diagonal): a blocker
+    # candidate whose triangle sits in a chunk AABB the ray narrowly
+    # misses must still be swept, or penumbra coverage and silhouette
+    # gradients clip to zero exactly at chunk-AABB boundaries (a dead
+    # gradient band that can stall optimization when the blocker edge
+    # lies near a chunk face). Conservative only — extra chunks swept,
+    # same winner.
+    cb = sg(scene.isect_chunk_bounds)
+    diag = jnp.sqrt(jnp.maximum(
+        ((cb[3:6] - cb[0:3]) ** 2).sum(axis=0), 0.0))  # (nc,)
+    infl = (edge_eps * diag)[None, :]
+    cb = jnp.concatenate([cb[0:3] - infl, cb[3:6] + infl, cb[6:8]], axis=0)
     marg0, eidx = _soft_occlusion(
-        o4t, d4t, pad(tm), sg(scene.isect_chunk_bounds),
+        o4t, d4t, pad(tm), cb,
         _m3_layout(sg(scene.isect_mu), sg(scene.isect_mv),
                    sg(scene.isect_mw)), eo4,
         interpret=interpret)

@@ -131,16 +131,23 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     # order (emission_i, direct_i, emission_i+1, ...) is preserved exactly,
     # so transport goldens are bit-unchanged; the loop's last pending
     # shadow is flushed by one trailing occlusion dispatch.
+    # Differentiable mode fuses too (VERDICT r4 item 5): hard shadow
+    # visibility is detached either way, so the fused kernel runs as a
+    # primal finder on stop-gradient inputs and the closest hit gets the
+    # same differentiable recompute epilogue as the unfused path
+    # (trace_occlude_pallas_diff).
     fuse_nee = (use_nee and config.traversal == Traversal.PALLAS
-                and not config.differentiable
                 and config.soft_shadows <= 0.0
                 and not _FORCE_UNFUSED_NEE)
     if fuse_nee:
         from gdpathtracing_tpu.ops.intersect_pallas import (
-            occluded_pallas, prepare_trace_inputs, trace_occlude_pallas)
+            occluded_pallas, prepare_trace_inputs, trace_occlude_pallas,
+            trace_occlude_pallas_diff)
         nee_prep = prepare_trace_inputs(scene)
         if nee_prep.superchunks:  # flat-grid kernel only (≤16 chunks)
             fuse_nee = False
+        fused_trace = (trace_occlude_pallas_diff if config.differentiable
+                       else trace_occlude_pallas)
 
     # Large scenes (superchunk traversal): stable-sort the wavefront by
     # direction octant each bounce. The chunk/superchunk culling is per
@@ -278,7 +285,7 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
             carry_tail = ()
         r = Ray(ray_o, ray_d)
         if fuse_nee:
-            hit, p_occ = trace_occlude_pallas(
+            hit, p_occ = fused_trace(
                 scene, r, active, Ray(p_sh_o, p_sh_d), p_sh_tmax,
                 p_sh_active, prep=nee_prep)
             vis_prev = (~p_occ).astype(jnp.float32)
@@ -522,9 +529,15 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
         # intermediate — residuals stay O(wavefront), not
         # O(wavefront × bounces × ops) (SURVEY.md §7.6 hard part #2).
         # config.bwd_checkpoint=False trades that memory back for speed
-        # (no recompute) where the residuals fit HBM.
+        # (no recompute) where the residuals fit HBM; None = shape-aware
+        # auto (estimate residual bytes, checkpoint only past the budget
+        # — the 4K/deep-path OOM guard VERDICT r4 item 4 asked for).
+        ckpt = config.bwd_checkpoint
+        if ckpt is None:
+            resid = n * config.bounces * config.bwd_resid_bytes_per_seg
+            ckpt = resid > config.bwd_resid_budget
         ckpt_body = (lambda carry, i: (body(i, carry), None))
-        if config.bwd_checkpoint:
+        if ckpt:
             ckpt_body = jax.checkpoint(ckpt_body)
         out, _ = jax.lax.scan(ckpt_body, init,
                               jnp.arange(config.bounces))
@@ -535,9 +548,13 @@ def path_trace(scene: Scene, ray: Ray, seed, config: RenderConfig,
     if fuse_nee:
         # Flush the last bounce's pending shadow query with one trailing
         # any-hit dispatch (the fused kernel resolved bounces 0..B-2).
+        # Detached in differentiable mode (hard visibility, zero a.e.
+        # derivative) so autodiff never touches the Pallas primitive.
         p_sh_o, p_sh_d, p_sh_tmax, p_sh_active, p_pend = out[-5:]
-        p_occ = occluded_pallas(scene, Ray(p_sh_o, p_sh_d), p_sh_tmax,
-                                p_sh_active)
+        sgf = (jax.lax.stop_gradient if config.differentiable
+               else (lambda x: x))
+        p_occ = occluded_pallas(sgf(scene), Ray(sgf(p_sh_o), sgf(p_sh_d)),
+                                sgf(p_sh_tmax), p_sh_active)
         vis = (~p_occ).astype(jnp.float32)
         radiance = vwhere(p_sh_active, radiance + p_pend * vis, radiance)
     if reorder:

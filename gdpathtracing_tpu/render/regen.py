@@ -160,6 +160,14 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         depth1=zero + f32(camera.far), normal1=zero3,
         steps=jnp.zeros(nw, jnp.int32), segs=jnp.zeros(nw, jnp.int32),
     )
+    # Perf telemetry (return_stats): per-iteration live-lane count and
+    # taken block-sweep totals from the kernel's row-46/47 counters —
+    # the block-composition evidence VERDICT r4 asked for.
+    MAX_IT = 96
+    if return_stats:
+        init.update(it_alive=jnp.zeros(MAX_IT, jnp.int32),
+                    it_sweeps_a=jnp.zeros(MAX_IT, f32),
+                    it_sweeps_b=jnp.zeros(MAX_IT, f32))
     if fuse_nee:
         # Deferred retirement: a path that dies with a pending shadow
         # parks its finished row in p_row for ONE iteration so the
@@ -198,10 +206,48 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         cb = scene.isect_chunk_bounds
         cell_lo = cb[0:3].min(axis=1)
         cell_span = jnp.maximum(cb[3:6].max(axis=1) - cell_lo, 1e-6)
+    use_chunk_key = config.regen_sort_key == "chunk"
+    if use_chunk_key:
+        nc_key = int(scene.isect_chunk_bounds.shape[1])
+
+    def first_chunk_key(o, d, alive):
+        """Id of the first chunk the ray would ENTER (min positive slab
+        tmin over passing chunks) — aligns lane blocks with the kernel's
+        actual unit of work so a block's rays want the SAME chunks, not
+        just nearby origins. Octant minor; misses/dead last."""
+        cb = scene.isect_chunk_bounds
+        rdx = 1.0 / jnp.where(jnp.abs(d.x) < 1e-30, 1e-30, d.x)
+        rdy = 1.0 / jnp.where(jnp.abs(d.y) < 1e-30, 1e-30, d.y)
+        rdz = 1.0 / jnp.where(jnp.abs(d.z) < 1e-30, 1e-30, d.z)
+        best_t = jnp.full_like(o.x, jnp.inf)
+        best_c = jnp.zeros_like(o.x, dtype=jnp.int32) + nc_key
+        for ci in range(nc_key):
+            tx1 = (cb[0, ci] - o.x) * rdx
+            tx2 = (cb[3, ci] - o.x) * rdx
+            ty1 = (cb[1, ci] - o.y) * rdy
+            ty2 = (cb[4, ci] - o.y) * rdy
+            tz1 = (cb[2, ci] - o.z) * rdz
+            tz2 = (cb[5, ci] - o.z) * rdz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                           jnp.minimum(ty1, ty2)),
+                               jnp.minimum(tz1, tz2))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                           jnp.maximum(ty1, ty2)),
+                               jnp.maximum(tz1, tz2))
+            entry = jnp.maximum(tmin, 0.0)
+            ok = (tmax >= tmin) & (tmax > 0.0) & (entry < best_t)
+            best_t = jnp.where(ok, entry, best_t)
+            best_c = jnp.where(ok, ci, best_c)
+        octant = ((d.x > 0.0).astype(jnp.int32) * 4
+                  + (d.y > 0.0).astype(jnp.int32) * 2
+                  + (d.z > 0.0).astype(jnp.int32))
+        return jnp.where(alive, best_c * 8 + octant, 1 << 14)
 
     def lane_sort_key(o, d, alive):
         """Morton(origin cell, 8^3) * 8 + octant(direction); dead last
         (render/integrator.py's per-bounce key)."""
+        if use_chunk_key:
+            return first_chunk_key(o, d, alive)
         def q3(x, lo, span):
             return jnp.clip(((x - lo) / span * 8.0).astype(jnp.int32),
                             0, 7)
@@ -290,6 +336,23 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         is_hit = hit.hit & active
         steps = steps + jnp.where(active, hit.steps, 0)
         segs = segs + active.astype(jnp.int32)
+
+        if return_stats:
+            it = jnp.minimum(c["iters"], MAX_IT - 1)
+            stats_upd = dict(
+                it_alive=c["it_alive"].at[it].set(
+                    jnp.sum(active.astype(jnp.int32))))
+            if hit.rows is not None:
+                from gdpathtracing_tpu.ops.intersect_pallas import BN
+                stats_upd["it_sweeps_a"] = c["it_sweeps_a"].at[it].set(
+                    jnp.sum(hit.rows[46, ::BN]))
+                stats_upd["it_sweeps_b"] = c["it_sweeps_b"].at[it].set(
+                    jnp.sum(hit.rows[47, ::BN]))
+            else:
+                stats_upd["it_sweeps_a"] = c["it_sweeps_a"]
+                stats_upd["it_sweeps_b"] = c["it_sweeps_b"]
+        else:
+            stats_upd = {}
 
         s = get_shading_data(scene, hit, r, fast=fast_shading)
         sky = sample_sky(ray_d, config, scene)
@@ -515,7 +578,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
                      prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
-                     steps=steps, segs=segs)
+                     steps=steps, segs=segs, **stats_upd)
         if fuse_nee:
             # The pending + deferred row survive the lane's regeneration
             # (both belong to the retired path; the lane is already
@@ -556,5 +619,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         normal=normal.reshape(h, w, 3))
     if return_stats:
         return aovs, {"iters": final["iters"],
-                      "lane_slots": final["iters"] * nw}
+                      "lane_slots": final["iters"] * nw,
+                      "it_alive": final["it_alive"],
+                      "it_sweeps_a": final["it_sweeps_a"],
+                      "it_sweeps_b": final["it_sweeps_b"],
+                      "n_blocks": nw // 256}
     return aovs

@@ -61,6 +61,17 @@ def render_radiance(scene: Scene, camera: Camera, config: RenderConfig,
     n_tiles = -(-n_pix // tile)
     padded = n_tiles * tile
 
+    if config.differentiable and config.bwd_checkpoint is None:
+        # Resolve the shape-aware checkpoint rule at FRAME scope: the
+        # tile loop below is a lax.map (a scan), so under autodiff the
+        # no-checkpoint residuals accumulate across ALL tiles and spp
+        # samples — the per-call wavefront the integrator sees would
+        # underestimate them by n_tiles x spp.
+        resid = (padded * config.spp * config.bounces
+                 * config.bwd_resid_bytes_per_seg)
+        config = config.replace(
+            bwd_checkpoint=resid > config.bwd_resid_budget)
+
     pixel_ids = jnp.arange(padded, dtype=jnp.int32) % n_pix
     tiles = pixel_ids.reshape(n_tiles, tile)
     trace_fn = get_trace_fn(config, scene)

@@ -8,6 +8,7 @@ wavefront; every lookup is masked-safe (indices clipped).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gdpathtracing_tpu.core.math3d import affine_apply_dir, affine_apply_point
@@ -73,15 +74,32 @@ def get_shading_data_fast(scene: Scene, hit: HitInfo, ray: Ray
     mat_id = row[:, 15].astype(jnp.int32)
 
     # Live material arrays (kept separate so albedo/emission gradients
-    # flow); packed to one small (M, 10) table → one gather.
-    mat_rows = jnp.concatenate([
+    # flow); packed to one small (M, 13) table. For small M the per-ray
+    # fetch is a ONE-HOT MXU MATMUL, not a gather: bit-exact at HIGHEST
+    # precision (one-hot rows select f32 values exactly through the
+    # 3-pass bf16 decomposition), and — the real point — its vjp is
+    # onehotᵀ·ḡ, ANOTHER matmul, where the gather's vjp is an (N, 13)
+    # scatter-add at ~60 ns/row that dominated the differentiable
+    # backward pass (round-5 bwd decomposition). Large M keeps the
+    # gather (a (N, M) one-hot would dwarf the gather's traffic).
+    mat_tbl = jnp.concatenate([
         scene.mat_albedo, scene.mat_emission,
         scene.mat_emission_energy[:, None], scene.mat_metallic[:, None],
         scene.mat_roughness[:, None],
         scene.mat_tex.astype(jnp.float32)[:, None],
         scene.mat_transmission[:, None],
         scene.mat_ior[:, None],
-        scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)[mat_id]
+        scene.mat_mr_tex.astype(jnp.float32)[:, None]], axis=1)
+    m = mat_tbl.shape[0]
+    if m <= 128:
+        onehot = (mat_id[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+        mat_rows = jax.lax.dot_general(
+            onehot, mat_tbl, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        mat_rows = mat_tbl[mat_id]
     albedo = Vec3(mat_rows[:, 0], mat_rows[:, 1], mat_rows[:, 2])
     if scene.has_textures:  # static: skip the 4 bilinear gathers otherwise
         tex_idx = mat_rows[:, 9].astype(jnp.int32)

@@ -156,7 +156,15 @@ def test_fused_nee_with_compaction_matches(monkeypatch):
                         RenderConfig(compact_rays=True, **base), 5)
     b = render_radiance(scene, cam,
                         RenderConfig(compact_rays=False, **base), 5)
-    np.testing.assert_array_equal(np.asarray(a.radiance),
-                                  np.asarray(b.radiance))
+    # Radiance: ulp-level, not bit-level — the two configs are different
+    # XLA graphs, and the compiler's FMA-contraction choices in the
+    # per-ray radiance chain may differ by 1 ulp between them (the hits
+    # themselves are exact: depth/segments assert bitwise below, and the
+    # kernels' lexicographic (t, eidx) winner is visit-order independent).
+    np.testing.assert_allclose(np.asarray(a.radiance),
+                               np.asarray(b.radiance),
+                               rtol=3e-7, atol=3e-7)
+    np.testing.assert_array_equal(np.asarray(a.depth),
+                                  np.asarray(b.depth))
     np.testing.assert_array_equal(np.asarray(a.segments),
                                   np.asarray(b.segments))
