@@ -199,6 +199,23 @@ class RenderConfig:
     #                           786k (v2) / 256k (v3) / 524k (v3) —
     #                           campaign logs. Capped by the path-pool
     #                           size.
+    regen_retire: str = "log"   # regen retirement mechanism: "log"
+    #                           (default) = contiguous retirement log —
+    #                           after the lane permutation puts freshly
+    #                           dead lanes in a contiguous block, one
+    #                           dynamic_update_slice appends their 10
+    #                           packed columns to a (10, n_paths+nw)
+    #                           column-major log at bandwidth rate, and
+    #                           ONE transpose+row-gather at frame end
+    #                           lands everything pid-indexed. "scatter"
+    #                           = round-4 v3 per-iteration column
+    #                           scalar-scatters (~4.7 ns/elem x nw x 9
+    #                           cols x iters ≈ 190 ms of the 307 ms
+    #                           demo frame — the round-5 telemetry
+    #                           showed retirement, not the trace, was
+    #                           the regen bottleneck). Requires the lane
+    #                           permutation; compact_rays=False falls
+    #                           back to "scatter".
     regen_sort_key: str = "morton"  # regen lane-sort key: "morton" =
     #                           Morton(origin cell) x octant (round-4
     #                           default); "chunk" = first chunk the ray

@@ -364,6 +364,12 @@ def _sweep_update(out_ref, o4, d4, m3, tab_chunk, global_base, may):
             better, (global_base + k).astype(jnp.float32), out_ref[44, :])
 
 
+_USE_QUEUE = True  # perf-decomposition hook: False = centroid order, no
+#                    candidacy packing (costs DMA on culled steps but
+#                    skips the per-ray XLA slab pass — isolates the
+#                    queue-construction cost in regen_decompose2)
+
+
 def _block_chunk_queue(o4t, d4t, chunk_bounds, tmax=None, extra=None):
     """(n_blocks, nc) i32 per-block PACKED chunk visit queue with sentinel
     padding — the work-queue form of near-to-far ordered traversal.
@@ -396,6 +402,8 @@ def _block_chunk_queue(o4t, d4t, chunk_bounds, tmax=None, extra=None):
     association so a kernel-swept chunk is always a candidate."""
     nc = chunk_bounds.shape[1]
     nb = o4t.shape[1] // BN
+    if not _USE_QUEUE:  # decomposition hook: centroid order, all-real
+        return _block_chunk_order(o4t, chunk_bounds)
 
     def set_key(o4t, d4t, tmax_b):
         ox, oy, oz = o4t[0], o4t[1], o4t[2]
@@ -945,6 +953,135 @@ def _closest_hit_rows_sc(o4t, d4t, sc_flat, chunk_flat, m3, tab,
     return out
 
 
+LITE_R = 8  # lite sc out rows: 0 t | 1 eidx (exact f32) | 2 steps |
+#             3 block sweeps (telemetry) | 4-7 pad
+_SC_LITE = True  # superchunk scenes: use the lite kernel + XLA gather
+#                  epilogue (A/B hook; the rows variant streams a
+#                  (40, SCC·BT) table block per entered superchunk and
+#                  pays the winner rows-merge per sweep)
+_SC_RESIDENT_BYTES = 8 << 20  # lite kernel keeps the whole m3 VMEM-
+#                  resident; scenes beyond this take the streamed rows
+#                  variant (v5e VMEM is 16 MB per core — leave room for
+#                  ray/out blocks and double buffers)
+
+
+def _kernel_sc_lite(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, m3_ref,
+                    out_ref, *, scc):
+    """Two-level closest hit WITHOUT the packed-rows epilogue: only
+    (t, eidx, steps) leave the kernel, so no (TAB_R, SCC·BT) table block
+    streams per superchunk (77% of the rows variant's per-step DMA) and
+    no one-hot/rows matmul runs per sweep. The wrapper recomputes
+    u/v/front from the winner's isect_cols row and shading falls back to
+    the (still packed-row) XLA gathers — the right trade on big
+    incoherent scenes where sweeps, not shading fetches, dominate.
+    Same statically-unrolled structure and lexicographic (t, eidx)
+    winner as _kernel_rows_sc.
+
+    The WHOLE m3 stays VMEM-RESIDENT (constant index map): the isolated
+    kernel bench measured ~3.7 µs per grid step in the streamed variant
+    — per-step DMA issue/wait, 25x the flat kernel's step cost, and the
+    entire grid-scene cost. A 100k-triangle scene's m3 is only ~4.6 MB,
+    so each superchunk's slice is taken in-VMEM with a dynamic lane
+    slice instead of a streamed block. Scenes whose m3 exceeds
+    _SC_RESIDENT_BYTES take the rows (streamed) variant."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((LITE_R, out_ref.shape[1]), jnp.float32)
+        out_ref[0, :] = jnp.full((out_ref.shape[1],), _MISS, jnp.float32)
+
+    nsc = pl.num_programs(1)
+    qv = ord_ref[i * nsc + j]
+    scid = jnp.where(qv >= nsc, qv - nsc, qv)  # sentinel decode
+
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
+
+    cur = out_ref[0, :]
+    s_tmin, s_tmax = _slab(sc_ref, scid * 8, ox, oy, oz, rdx, rdy, rdz)
+    sc_may = (s_tmax >= s_tmin) & (s_tmax > 0.0) & (s_tmin <= cur) \
+        & (qv < nsc)
+
+    @pl.when(jnp.any(sc_may))
+    def _():
+        out_ref[3, :] = out_ref[3, :] + 1.0  # superchunk entries (telem)
+        for c in range(scc):  # static unroll (RUNTIME_BUG.md rule)
+            cur_c = out_ref[0, :]
+            tmin, tmax = _slab(chunk_ref, (scid * scc + c) * 8,
+                               ox, oy, oz, rdx, rdy, rdz)
+            may = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur_c)
+
+            @pl.when(jnp.any(may))
+            def _(c=c, may=may):
+                out_ref[2, :] = out_ref[2, :] + \
+                    jnp.where(may, float(BT), 0.0)
+                m3c = m3_ref[:, pl.ds((scid * scc + c) * 3 * BT, 3 * BT)]
+                u_o, v_o, w_o = _uvw(o4, m3c)
+                u_d, v_d, w_d = _uvw(d4, m3c)
+                wd_ok = jnp.abs(w_d) > _WD_EPS
+                inv_wd = jnp.where(wd_ok, w_d, 1.0)
+                t = -w_o / inv_wd
+                u = u_o + t * u_d
+                v = v_o + t * v_d
+                valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & \
+                    (u + v <= 1.0)
+                t = jnp.where(valid, t, _MISS)
+                tk = jnp.min(t, axis=1)
+                cur2 = out_ref[0, :]
+                cur_e = out_ref[1, :]
+                better0 = (tk < cur2) & may
+                tie = (tk == cur2) & (tk < _MISS) & may
+
+                @pl.when(jnp.any(better0 | tie))
+                def _(t=t, tk=tk, cur2=cur2, cur_e=cur_e,
+                      better0=better0, tie=tie, c=c):
+                    k = jnp.argmin(t, axis=1).astype(jnp.int32)
+                    eidx = ((scid * scc + c) * BT + k).astype(jnp.float32)
+                    better = better0 | (tie & (eidx < cur_e))
+                    out_ref[0, :] = jnp.where(better, tk, cur2)
+                    out_ref[1, :] = jnp.where(better, eidx, cur_e)
+
+
+@functools.partial(jax.jit, static_argnames=("scc", "interpret"))
+def _closest_hit_sc_lite(o4t, d4t, sc_flat, chunk_flat, m3,
+                         scc=SCC, interpret=False):
+    n = o4t.shape[1]
+    e = m3.shape[1] // 3
+    nsc = e // (BT * scc)
+    grid = (n // BN, nsc)
+    bts = BT * scc
+
+    order = _block_chunk_queue(o4t, d4t,
+                               sc_flat.reshape(nsc, 8).T).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            # RESIDENT: whole m3, constant index map — no per-step DMA.
+            pl.BlockSpec((4, 3 * e), lambda i, j, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((LITE_R, BN), lambda i, j, *_: (0, i)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(_kernel_sc_lite, scc=scc),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((LITE_R, n), jnp.float32,
+                                        vma=out_vma(o4t, d4t, m3))],
+        interpret=interpret,
+    )(sc_flat, chunk_flat, order, o4t, d4t, m3)
+    return out
+
+
 class _TracePrep(NamedTuple):
     """Hoisted, kernel-ready trace inputs (build once per traced program
     via prepare_trace_inputs; cheap E-sized work)."""
@@ -958,6 +1095,10 @@ class _TracePrep(NamedTuple):
     sc_flat: jnp.ndarray      # (nsc*8,) superchunk bounds (sc path only)
     sub_flat: jnp.ndarray     # (SUB*nc*8,) sub-chunk bounds (flat path —
     #                           phase-B any-hit refinement)
+    tri_inst: jnp.ndarray     # (E, 2) i32 [tri | inst] packed rows (lite
+    #                           sc epilogue fetches both in ONE row
+    #                           gather — 1-D gathers run ~27 ns/elem vs
+    #                           ~5 ns/row packed)
 
 
 def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
@@ -982,7 +1123,9 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
                           _inflate_bounds(
                               scene.isect_chunk_bounds).T.reshape(-1),
                           jnp.zeros(8, jnp.float32),
-                          _sub_bounds(scene))
+                          _sub_bounds(scene),
+                          jnp.stack([scene.isect_tri, scene.isect_inst],
+                                    axis=1))
 
     nc_pad = -(-nc // scc) * scc
     e_pad = nc_pad * BT
@@ -1011,7 +1154,9 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
     return _TracePrep(True, mu, mv, mw, _m3_layout(mu, mv, mw), tab,
                       _inflate_bounds(cb_pad).T.reshape(-1),
                       _inflate_bounds(sc).T.reshape(-1),
-                      jnp.zeros(8, jnp.float32))
+                      jnp.zeros(8, jnp.float32),
+                      jnp.stack([scene.isect_tri, scene.isect_inst],
+                                axis=1))
 
 
 def trace_pallas(scene: Scene, ray: Ray, active=None,
@@ -1051,6 +1196,41 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
 
     if prep is None:
         prep = prepare_trace_inputs(scene)
+    if prep.superchunks and _SC_LITE \
+            and prep.m3.size * 4 <= _SC_RESIDENT_BYTES:
+        lite = _closest_hit_sc_lite(o4t, d4t, prep.sc_flat,
+                                    prep.chunk_flat, prep.m3,
+                                    interpret=interpret)[:, :n]
+        t = lite[0]
+        eidx = lite[1].astype(jnp.int32)
+        steps = lite[2].astype(jnp.int32)
+        hit = t < MISS_T
+
+        # Classic gather epilogue: winner's u/v/front from ONE packed
+        # (N, 12) isect_cols row + 4-term dots; tri/inst from one packed
+        # (N, 2) row. Shading then uses get_shading_data_fast (rows is
+        # None) — the right trade on big incoherent scenes, where the
+        # kernel's per-superchunk table streaming and per-sweep rows
+        # merge cost far more than these gathers.
+        rows12 = scene.isect_cols[eidx]
+
+        def dot4(c0, x, y, z, w_):
+            return rows12[:, c0] * x + rows12[:, c0 + 1] * y + \
+                rows12[:, c0 + 2] * z + rows12[:, c0 + 3] * w_
+
+        one = ray.o.x * 0.0 + 1.0
+        zero = ray.o.x * 0.0
+        u = dot4(0, ox, oy, oz, one) + t * dot4(0, dx, dy, dz, zero)
+        v = dot4(4, ox, oy, oz, one) + t * dot4(4, dx, dy, dz, zero)
+        w_d = dot4(8, dx, dy, dz, zero)
+        ti = prep.tri_inst[eidx]  # (N, 2)
+        tri = jnp.where(hit, ti[:, 0], 0)
+        inst = jnp.where(hit, ti[:, 1], 0)
+        if active is not None:
+            t = jnp.where(active, t, MISS_T)
+        return HitInfo(t=t, tri=tri, inst=inst,
+                       u=jnp.clip(u, 0.0, 1.0), v=jnp.clip(v, 0.0, 1.0),
+                       front=w_d < 0.0, steps=steps, eidx=eidx)
     if prep.superchunks:
         rows = _closest_hit_rows_sc(o4t, d4t, prep.sc_flat, prep.chunk_flat,
                                     prep.m3, prep.tab,

@@ -225,7 +225,7 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
             cur = acc_ref[40, :]
             tmin, tmax = _slab(chunk_ref, cid * 8, ox, oy, oz,
                                _rcp(dx), _rcp(dy), _rcp(dz))
-            may = (tmax >= tmin) & (tmax > 0.0) & (tmin < cur)
+            may = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur)
 
             @pl.when(jnp.any(may))
             def _():
@@ -235,10 +235,12 @@ def _make_mega_kernel(config: RenderConfig, nc: int, n_lights: int):
                 # layout since the m3 rework; MEGA still streams mu/mv/mw
                 # separately, so join them here (VMEM values — register
                 # shuffles, the matmul results are element-identical).
+                # `may` gates the merge per ray (composition-independent
+                # winners, same contract as the wavefront kernels).
                 _sweep_update(acc_ref, o4, d4,
                               jnp.concatenate([mu_ref[...], mv_ref[...],
                                                mw_ref[...]], axis=1),
-                              tab_ref[...], cid * BT)
+                              tab_ref[...], cid * BT, may)
 
         if nee:
             def _epilogue_a(fs, act):

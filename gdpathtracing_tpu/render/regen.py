@@ -148,10 +148,26 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     zero3 = Vec3(zero, zero, zero)
     one3 = Vec3(zero + 1.0, zero + 1.0, zero + 1.0)
 
+    # (Flags used by the init below — full rationale at their docs.)
+    dbg = dict(_DEBUG)
+    compact_lanes = (config.compact_rays is not False
+                     and not dbg["skip_permute"])
+    # Retirement log (regen v4): the permutation groups freshly dead
+    # lanes contiguously, so retirement is ONE dynamic_update_slice of
+    # their packed columns into a (LOG_R, n_paths+nw) column-major log
+    # per iteration (bandwidth rate) instead of 9-10 full-wavefront
+    # scalar scatters (which the round-5 telemetry showed were ~60% of
+    # the frame). One transpose + split row-gathers at frame end land
+    # everything pid-indexed. See config.regen_retire.
+    use_log = (config.regen_retire == "log" and compact_lanes
+               and not dbg["skip_append"]
+               and n_paths < (1 << 24))  # pid rides the log as exact f32
+    LOG_R = 10  # r g b depth nx ny nz steps segs pid(bitcast)
+    log_len = n_paths + nw
+
     init = dict(
         next_path=jnp.int32(min(nw, n_paths)),
         iters=jnp.int32(0),
-        out=tuple(jnp.zeros(n_paths, f32) for _ in range(OUT_COLS)),
         ray_o=ray0.o, ray_d=ray0.d, seed=seed0,
         tp=one3, rad=zero3,
         pid=lane0, bounce=jnp.zeros(nw, jnp.int32),
@@ -160,6 +176,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         depth1=zero + f32(camera.far), normal1=zero3,
         steps=jnp.zeros(nw, jnp.int32), segs=jnp.zeros(nw, jnp.int32),
     )
+    if use_log:
+        init.update(log=jnp.zeros((LOG_R, log_len), f32),
+                    retired=jnp.int32(0), dstart=jnp.int32(0))
+    else:
+        init.update(out=tuple(jnp.zeros(n_paths, f32)
+                              for _ in range(OUT_COLS)))
     # Perf telemetry (return_stats): per-iteration live-lane count and
     # taken block-sweep totals from the kernel's row-46/47 counters —
     # the block-composition evidence VERDICT r4 asked for.
@@ -186,10 +208,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     # blocks then trace at the coherent-camera rate (~7 ns/segment)
     # instead of being scattered into incoherent mixed blocks
     # (~38 ns/segment) — and camera segments are ~74% of the frame.
-    dbg = dict(_DEBUG)
-    compact_lanes = (config.compact_rays is not False
-                     and not dbg["skip_permute"])
-
+    #
     # The permutation key upgrades from survivors-first to
     # Morton-cell-of-origin × direction-octant (dead last) — the
     # integrator's per-bounce sort, but on an ALWAYS-DENSE wavefront,
@@ -210,7 +229,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     if use_chunk_key:
         nc_key = int(scene.isect_chunk_bounds.shape[1])
 
-    def first_chunk_key(o, d, alive):
+    def first_chunk_key(o, d, alive, fresh):
         """Id of the first chunk the ray would ENTER (min positive slab
         tmin over passing chunks) — aligns lane blocks with the kernel's
         actual unit of work so a block's rays want the SAME chunks, not
@@ -241,13 +260,18 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         octant = ((d.x > 0.0).astype(jnp.int32) * 4
                   + (d.y > 0.0).astype(jnp.int32) * 2
                   + (d.z > 0.0).astype(jnp.int32))
-        return jnp.where(alive, best_c * 8 + octant, 1 << 14)
+        return jnp.where(alive, best_c * 8 + octant,
+                         jnp.where(fresh, 1 << 14, 1 << 15))
 
-    def lane_sort_key(o, d, alive):
-        """Morton(origin cell, 8^3) * 8 + octant(direction); dead last
-        (render/integrator.py's per-bounce key)."""
+    def lane_sort_key(o, d, alive, fresh):
+        """Morton(origin cell, 8^3) * 8 + octant(direction); dead keyed
+        after every live cell — THREE-way: live cells < freshly-dead
+        (this iteration's retirements, which the log write needs as one
+        contiguous block) < stale-dead (drain-phase lanes already
+        retired earlier) — render/integrator.py's per-bounce key plus
+        the retirement split."""
         if use_chunk_key:
-            return first_chunk_key(o, d, alive)
+            return first_chunk_key(o, d, alive, fresh)
         def q3(x, lo, span):
             return jnp.clip(((x - lo) / span * 8.0).astype(jnp.int32),
                             0, 7)
@@ -262,7 +286,8 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         octant = ((d.x > 0.0).astype(jnp.int32) * 4
                   + (d.y > 0.0).astype(jnp.int32) * 2
                   + (d.z > 0.0).astype(jnp.int32))
-        return jnp.where(alive, cell * 8 + octant, 1 << 14)
+        return jnp.where(alive, cell * 8 + octant,
+                         jnp.where(fresh, 1 << 14, 1 << 15))
 
     def cond(c):
         more = (c["next_path"] < n_paths) | jnp.any(c["active"])
@@ -291,13 +316,24 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
         # ---- one path segment: the standard integrator body ----
         r = Ray(ray_o, ray_d)
-        out = c["out"]
+        out = None if use_log else c["out"]
+        log = c["log"] if use_log else None
+        retired = c["retired"] if use_log else None
+
+        def bcf(x):
+            # pid rides the f32 log as an exact VALUE cast (pids are
+            # < 2^24 — guarded below), NOT a bitcast: small ints
+            # reinterpreted as f32 are denormals, and the TPU flushes
+            # denormals to zero in parts of the data path (observed on
+            # hardware: every logged pid read back 0, collapsing the
+            # final pid-indexing while the CPU run was bit-exact).
+            return x.astype(jnp.float32)
 
         def resolve_pending(p_occ):
             """Fold the resolved direct term of the PREVIOUS segment's
             shadow query into its owner (live lane or deferred row),
             then retire the now-complete deferred rows."""
-            nonlocal radiance, out
+            nonlocal radiance, out, log, retired
             vis_prev = (~p_occ).astype(jnp.float32)
             contrib = c["p_pend"] * vis_prev
             # The lane still owns the posting path only if it is ACTIVE
@@ -311,7 +347,19 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             p_vals = list(c["p_vals"])
             for k, comp in enumerate((contrib.x, contrib.y, contrib.z)):
                 p_vals[k] = p_vals[k] + jnp.where(late, comp, 0.0)
-            if not dbg["skip_append"]:
+            if use_log:
+                # The deferred rows sit contiguously at [dstart,
+                # dstart + n_fresh_prev) in the CURRENT lane layout
+                # (last iteration's 3-way sort put them right after its
+                # survivors): roll them to the window front and append.
+                window = jnp.stack(list(p_vals) + [bcf(c["p_pid"])],
+                                   axis=0)
+                window = jnp.roll(window, -c["dstart"], axis=1)
+                log = jax.lax.dynamic_update_slice(log, window,
+                                                   (0, retired))
+                retired = retired + jnp.sum(
+                    c["p_row_active"].astype(jnp.int32))
+            elif not dbg["skip_append"]:
                 out = retire(out, c["p_row_active"], c["p_pid"], p_vals)
             return tuple(p_vals)
 
@@ -481,7 +529,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             new_p_vals = tuple(jnp.where(dead_now, v, pv)
                                for v, pv in zip(vals, p_vals))
             new_p_row_active = dead_now
-        elif not dbg["skip_append"]:
+        elif not use_log and not dbg["skip_append"]:
             out = retire(out, dead_now, c["pid"], vals)
 
         # ---- survivors-first lane compaction (tail-coherent spawning) ----
@@ -490,12 +538,22 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             alive_i = alive.astype(jnp.int32)
             n_alive = jnp.sum(alive_i)
             if sort_lanes:
-                key = lane_sort_key(ray_o, ray_d, alive)
+                key = lane_sort_key(ray_o, ray_d, alive, dead_now)
                 perm = jnp.argsort(key, stable=True)
             else:
+                # 3-way stable partition: alive | fresh-dead | stale
+                # (the log write needs this iteration's retirements as
+                # one contiguous block right after the survivors).
+                fresh_i = dead_now.astype(jnp.int32)
+                stale_i = ((~alive) & ~dead_now).astype(jnp.int32)
                 ra = jnp.cumsum(alive_i)
-                rd = jnp.cumsum(1 - alive_i)
-                dest = jnp.where(alive, ra, n_alive + rd) - 1
+                rf = jnp.cumsum(fresh_i)
+                rs = jnp.cumsum(stale_i)
+                n_fresh_p = rf[-1]
+                dest = jnp.where(
+                    alive, ra,
+                    jnp.where(dead_now, n_alive + rf,
+                              n_alive + n_fresh_p + rs)) - 1
                 perm = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
             bc = jax.lax.bitcast_convert_type
             fm = jnp.stack([ray_o.x, ray_o.y, ray_o.z,
@@ -541,6 +599,24 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         elif fuse_nee:
             new_p_pid = c["pid"]
 
+        if use_log:
+            # v4 retirement: ONE contiguous append of the freshly-dead
+            # block (now at [n_alive, n_alive + n_fresh) after the
+            # 3-way permutation). In fused mode the rows defer one
+            # iteration (resolve_pending appends them instead).
+            n_fresh = jnp.sum(dead_now.astype(jnp.int32))
+            if not fuse_nee:
+                window = jnp.stack(
+                    [radiance.x, radiance.y, radiance.z, depth1,
+                     normal1.x, normal1.y, normal1.z,
+                     steps.astype(f32), segs.astype(f32),
+                     bcf(pid)], axis=0)
+                window = jnp.roll(window, -n_alive, axis=1)
+                log = jax.lax.dynamic_update_slice(log, window,
+                                                   (0, retired))
+                retired = retired + n_fresh
+            new_dstart = n_alive
+
         # ---- regenerate: refill dead lanes with the next pool paths
         # (post-compaction the dead are the contiguous tail, so fresh
         # consecutive-pixel paths form coherent blocks) ----
@@ -574,11 +650,15 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             next_path + jnp.sum(dead.astype(jnp.int32)),
             jnp.int32(n_paths))
 
-        new_c = dict(next_path=next_path, iters=c["iters"] + 1, out=out,
+        new_c = dict(next_path=next_path, iters=c["iters"] + 1,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
                      prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
                      steps=steps, segs=segs, **stats_upd)
+        if use_log:
+            new_c.update(log=log, retired=retired, dstart=new_dstart)
+        else:
+            new_c["out"] = out
         if fuse_nee:
             # The pending + deferred row survive the lane's regeneration
             # (both belong to the retired path; the lane is already
@@ -595,7 +675,20 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                                 None, length=dbg["fixed_iters"])
     else:
         final = jax.lax.while_loop(cond, body, init)
-    out = final["out"]  # 9 x (n_paths,) pid-indexed — no reorder needed
+    if use_log:
+        # One-shot pid-indexing of the retirement log: every path
+        # retired exactly once, so log[:, :n_paths] holds each pid once
+        # — scatter positions (2M scalar writes), transpose the column-
+        # major log, and fetch rows in two <=8-wide packed gathers.
+        log = final["log"]
+        pid_l = log[LOG_R - 1, :n_paths].astype(jnp.int32)
+        pos = jnp.zeros(n_paths, jnp.int32).at[pid_l].set(
+            jnp.arange(n_paths, dtype=jnp.int32), mode="drop")
+        rows8 = log[0:8, :n_paths].T[pos]       # (n_paths, 8)
+        rows2 = log[8:LOG_R, :n_paths].T[pos]   # (n_paths, 2)
+        out = tuple(rows8[:, k] for k in range(8)) + (rows2[:, 0],)
+    else:
+        out = final["out"]  # 9 x (n_paths,) pid-indexed directly
 
     if config.spp > 1:
         o = [a.reshape(config.spp, n_pix) for a in out]

@@ -289,3 +289,32 @@ def test_fast_shading_matches_classic():
                        np.asarray(fast.roughness)[m])
     assert np.allclose(np.asarray(classic.lambert_out)[m],
                        np.asarray(fast.lambert_out)[m], atol=1e-5)
+
+
+def test_sc_lite_matches_rows_kernel(monkeypatch):
+    """The lite superchunk kernel (t/idx only + XLA gather epilogue —
+    the big-scene default) must report the same winners as the rows
+    variant: identical t/eidx/tri/inst, u/v equal to the recompute's
+    fp association."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid
+    scene = build_sphere_grid(n=4, sphere_detail=12)
+    prep = ip.prepare_trace_inputs(scene)
+    assert prep.superchunks
+    ray = _random_rays(400, seed=23)
+    monkeypatch.setattr(ip, "_SC_LITE", True)
+    lite = ip.trace_pallas(scene, ray, interpret=True, prep=prep)
+    monkeypatch.setattr(ip, "_SC_LITE", False)
+    rows = ip.trace_pallas(scene, ray, interpret=True, prep=prep)
+    np.testing.assert_array_equal(np.asarray(lite.t), np.asarray(rows.t))
+    np.testing.assert_array_equal(np.asarray(lite.eidx),
+                                  np.asarray(rows.eidx))
+    np.testing.assert_array_equal(np.asarray(lite.tri),
+                                  np.asarray(rows.tri))
+    np.testing.assert_array_equal(np.asarray(lite.inst),
+                                  np.asarray(rows.inst))
+    hit = np.asarray(lite.t) < 1e8
+    np.testing.assert_allclose(np.asarray(lite.u)[hit],
+                               np.asarray(rows.u)[hit], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lite.v)[hit],
+                               np.asarray(rows.v)[hit], atol=1e-4)

@@ -126,3 +126,31 @@ def test_regen_steps_total(scene):
     got = render_radiance(scene, camera, config.replace(regen=True), 1)
     assert int(np.asarray(got.steps).sum()) == int(
         np.asarray(ref.steps).sum())
+
+
+def test_regen_log_retirement_bit_matches_scatter(scene):
+    """regen v4 (contiguous retirement log, the default) must produce
+    BIT-identical AOVs to the v3 column-scatter retirement in every
+    mode combination — the log only changes where retired values are
+    written, never the values (round-5; also guards the TPU
+    denormal-pid hazard class: pids ride the f32 log as exact value
+    casts, not bitcasts)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.render.regen import render_radiance_regen
+    ip._FORCE_INTERPRET = True
+    try:
+        cam = demo_camera(W, H)
+        for nee, sort in ((False, True), (True, True), (True, False)):
+            cfg = RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                               nee=nee, sort_rays=sort, regen=True,
+                               regen_wavefront=512)
+            aL = render_radiance_regen(
+                scene, cam, cfg.replace(regen_retire="log"), 3)
+            aS = render_radiance_regen(
+                scene, cam, cfg.replace(regen_retire="scatter"), 3)
+            for k in ("radiance", "depth", "segments", "steps", "normal"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(aL, k)), np.asarray(getattr(aS, k)),
+                    err_msg=f"nee={nee} sort={sort} aov={k}")
+    finally:
+        ip._FORCE_INTERPRET = False
