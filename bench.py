@@ -26,6 +26,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Speed-of-light denominator (VERDICT r4 item 6): the measured coherent
+# per-segment kernel rate is ~7 ns/segment — one 256-tri chunk sweep per
+# 256-ray block at ~1.8 us/sweep, which is within ~2x of the
+# first-principles VPU bound for the ~12-op intersection epilogue on a
+# (256, 768) tile (see docs/STATUS.md "Speed of light"). That makes the
+# per-chip ceiling ~143 Msegments/s; every axis reports
+# sol_fraction = (segments x 7 ns) / wall-clock as % of that ceiling.
+SOL_NS_PER_SEGMENT = 7.0
+
 AXES = {
     # axis -> (extra argv, timeout_s). Frame counts keep the cached-compile
     # wall-clock of the full default run under ~10 min; uncached worst case
@@ -73,6 +82,9 @@ def run_all_axes(verbose: bool) -> None:
         # Wall-clock ratio of the NEE frame vs the primal frame — the
         # <=1.3x target (VERDICT r3 item 3).
         extra["nee_over_primal_time"] = round(nee_ms / primal_ms, 3)
+    for k, r in results.items():
+        if r and r.get("sol_fraction") is not None:
+            extra[f"{k}_sol_fraction"] = r["sol_fraction"]
     primal = results.get("primal")
     print(json.dumps({
         "metric": "Mrays/s/chip primal 1spp 1920x1080 pallas demo",
@@ -230,6 +242,8 @@ def main() -> None:
             "unit": "Mrays/s",
             "vs_baseline": 1.0,
             "ms_per_frame": round(dt * 1e3, 1),
+            "sol_fraction": round(segments * SOL_NS_PER_SEGMENT * 1e-9
+                                  / dt, 4),
         }))
         return
 
@@ -288,6 +302,8 @@ def main() -> None:
             "unit": "Mrays/s",
             "vs_baseline": 1.0,
             "ms_per_frame": round(dt / args.frames * 1e3, 1),
+            "sol_fraction": round(segments * SOL_NS_PER_SEGMENT * 1e-9
+                                  * args.frames / dt, 4),
         }))
         return
 
@@ -346,6 +362,7 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": 1.0,
         "ms_per_frame": round(dt / args.frames * 1e3, 1),
+        "sol_fraction": round(rays_per_s * SOL_NS_PER_SEGMENT * 1e-9, 4),
     }))
 
 

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from gdpathtracing_tpu.config import RenderConfig, Traversal
-import gdpathtracing_tpu.render.regen as regen_mod
+# NOTE: `import gdpathtracing_tpu.render.regen as x` trips an importer
+# quirk in this environment (a stray top-level 'render' namespace
+# package wins the attribute resolution); the from-import form works.
+from gdpathtracing_tpu.render import regen as regen_mod
 from gdpathtracing_tpu.render.regen import render_radiance_regen
 from gdpathtracing_tpu.scene.demo import build_demo_scene, demo_camera
 

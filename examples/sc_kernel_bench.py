@@ -84,6 +84,12 @@ def main():
     ray_rand = Ray(Vec3(*[jnp.asarray(o[:, k]) for k in range(3)]),
                    Vec3(*[jnp.asarray(d[:, k]) for k in range(3)]))
 
+    # All-miss rays: parked far away pointing away — every superchunk
+    # slab fails, so the trace time is PURE per-grid-step machinery.
+    far = jnp.full(n, 1e9, jnp.float32)
+    s3 = jnp.full(n, 0.5773503, jnp.float32)
+    ray_miss = Ray(Vec3(far, far, far), Vec3(s3, s3, s3))
+
     for lite in (True, False):
         ip._SC_LITE = lite
         tag = "lite" if lite else "rows"
@@ -93,6 +99,44 @@ def main():
                    args.reps)
         time_trace(f"[{tag}] random rays     ", scene, prep, ray_rand,
                    act, args.reps)
+        time_trace(f"[{tag}] all-miss (step cost)", scene, prep,
+                   ray_miss, act, args.reps)
+    ip._SC_LITE = True
+
+    # SCC sweep (lite kernel, direct call): separates per-STEP cost
+    # (grid = blocks x nsc shrinks with bigger SCC) from per-ENTRY cost
+    # (the unrolled inner loop grows with SCC).
+    import time as _t
+    for scc in (8, 16, 32, 64):
+        prep_s = ip.prepare_trace_inputs(scene, scc=scc)
+        nn = n
+
+        def pack(rr):
+            o4t = jnp.stack([rr.o.x, rr.o.y, rr.o.z,
+                             jnp.ones(nn, jnp.float32)], axis=0)
+            d4t = jnp.stack([rr.d.x, rr.d.y, rr.d.z,
+                             jnp.zeros(nn, jnp.float32)], axis=0)
+            return o4t, d4t
+
+        for name, rr in (("camera", ray), ("random", ray_rand)):
+            o4t, d4t = pack(rr)
+
+            @jax.jit
+            def run(seed, o4t=o4t, d4t=d4t, prep_s=prep_s, scc=scc):
+                def body(carry, _):
+                    out = ip._closest_hit_sc_lite(
+                        o4t + carry * 1e-30, d4t, prep_s.sc_flat,
+                        prep_s.chunk_flat, prep_s.m3, scc=scc)
+                    return out[0].sum() * 1e-30, None
+                chk, _ = jax.lax.scan(body, seed, None, length=args.reps)
+                return chk
+
+            np.asarray(run(jnp.float32(0.0)))
+            t0 = _t.time()
+            np.asarray(run(jnp.float32(1.0)))
+            dt = (_t.time() - t0) / args.reps
+            print(f"[scc={scc:2d}] {name:7s}: {dt*1e3:8.2f} ms/trace "
+                  f"({dt/nn*1e9:6.2f} ns/ray)", flush=True)
 
 
 if __name__ == "__main__":
