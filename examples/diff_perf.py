@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import gdpathtracing_tpu.render.integrator as integ
+from gdpathtracing_tpu.render import integrator as integ
 from gdpathtracing_tpu.config import RenderConfig, Traversal
 from gdpathtracing_tpu.diff.inverse import image_mse, replace_albedo
 from gdpathtracing_tpu.render.renderer import render_radiance

@@ -107,7 +107,7 @@ def main():
     # (grid = blocks x nsc shrinks with bigger SCC) from per-ENTRY cost
     # (the unrolled inner loop grows with SCC).
     import time as _t
-    for scc in (8, 16, 32, 64):
+    for scc in (2, 4, 6, 8, 12):
         prep_s = ip.prepare_trace_inputs(scene, scc=scc)
         nn = n
 

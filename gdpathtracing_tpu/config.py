@@ -190,15 +190,15 @@ class RenderConfig:
     max_stack: int = 64       # traversal stack depth (main.glsl:272,307)
     tile_rays: int = 262144   # rays per traced tile (bounds live wavefront
     #                           memory; larger tiles amortize dispatch)
-    regen_wavefront: int = 524288  # persistent-wavefront size of the
+    regen_wavefront: int = 393216  # persistent-wavefront size of the
     #                           regeneration loop (render/regen.py).
-    #                           Larger wavefronts amortize the per-
-    #                           iteration fixed costs (permute, spawn,
-    #                           retirement scatters): demo 1080p measured
-    #                           492/463/409/352 ms at nw = 256k (v2) /
-    #                           786k (v2) / 256k (v3) / 524k (v3) —
-    #                           campaign logs. Capped by the path-pool
-    #                           size.
+    #                           Larger wavefronts amortize per-iteration
+    #                           fixed costs until HBM-traffic effects
+    #                           turn: demo 1080p v4 measured 350.6 /
+    #                           255.4 / 272.1 / 313.2 ms at nw = 256k /
+    #                           384k / 524k / 768k (campaign r5f nw
+    #                           sweep; v3-era numbers preferred 524k).
+    #                           Capped by the path-pool size.
     regen_retire: str = "log"   # regen retirement mechanism: "log"
     #                           (default) = contiguous retirement log —
     #                           after the lane permutation puts freshly

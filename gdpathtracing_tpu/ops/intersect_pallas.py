@@ -853,7 +853,12 @@ def trace_occlude_pallas(scene: Scene, ray: Ray, active,
 # run an in-kernel fori over their chunks (each chunk pl.when-guarded).
 # ---------------------------------------------------------------------------
 
-SCC = 16  # chunks per superchunk (SCC*BT = 4096 triangles)
+SCC = 8  # chunks per superchunk (SCC*BT = 2048 triangles). Round-5
+#          isolated-kernel sweep: the sc kernel's cost is dominated by
+#          per-step/branch machinery that scales with the unrolled BODY
+#          size, not by DMA — SCC=8 measured 40.4/1429 ms per 524k-ray
+#          trace (camera/random) vs 169/2525 at SCC=16 on the grid
+#          scene (campaign r5f).
 
 
 def _kernel_rows_sc(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, m3_ref,

@@ -555,6 +555,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                     jnp.where(dead_now, n_alive + rf,
                               n_alive + n_fresh_p + rs)) - 1
                 perm = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
+            # NOTE (round 5): splitting these stacked gathers into
+            # <=8-wide groups per the core/gather.py micro law REGRESSED
+            # end-to-end (primal 269 -> 287 ms, NEE 565 -> 630 —
+            # campaign r5g) and was reverted: XLA fuses the single
+            # stack+gather+unstack better than six separate ones. The
+            # micro rates apply to standalone gathers, not this pattern.
             bc = jax.lax.bitcast_convert_type
             fm = jnp.stack([ray_o.x, ray_o.y, ray_o.z,
                             ray_d.x, ray_d.y, ray_d.z,
