@@ -130,6 +130,11 @@ def main() -> None:
     ap.add_argument("--no-compact", action="store_true",
                     help="force stream compaction OFF (MEGA auto-enables "
                          "it for >=4-block wavefronts otherwise)")
+    ap.add_argument("--sort-key", default=None,
+                    choices=["morton", "chunk"],
+                    help="regen lane-sort key (config.regen_sort_key): "
+                         "morton = origin-cell x octant; chunk = first "
+                         "chunk/superchunk entered x octant")
     ap.add_argument("--regen", action="store_true",
                     help="path-regeneration frame loop (persistent "
                          "always-full wavefront, render/regen.py)")
@@ -187,6 +192,8 @@ def main() -> None:
         config = config.replace(compact_rays=True)
     if args.no_compact:
         config = config.replace(compact_rays=False)
+    if args.sort_key:
+        config = config.replace(regen_sort_key=args.sort_key)
     if args.regen:
         config = config.replace(regen=True)
     if args.no_regen:

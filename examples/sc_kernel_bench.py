@@ -107,7 +107,7 @@ def main():
     # (grid = blocks x nsc shrinks with bigger SCC) from per-ENTRY cost
     # (the unrolled inner loop grows with SCC).
     import time as _t
-    for scc in (2, 4, 6, 8, 12):
+    for scc in (4, 6, 8, 12):
         prep_s = ip.prepare_trace_inputs(scene, scc=scc)
         nn = n
 
@@ -120,6 +120,7 @@ def main():
 
         for name, rr in (("camera", ray), ("random", ray_rand)):
             o4t, d4t = pack(rr)
+            # (guard: nsc must keep the SMEM queue under ~1 MB)
 
             @jax.jit
             def run(seed, o4t=o4t, d4t=d4t, prep_s=prep_s, scc=scc):

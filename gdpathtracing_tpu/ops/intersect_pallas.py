@@ -1107,6 +1107,12 @@ class _TracePrep(NamedTuple):
 
 
 def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
+    """NOTE: the sc kernels' per-block visit queue lives in SMEM
+    (~1 MB): order bytes = n_blocks × nsc × 4. With n_blocks ≤ 2048
+    (512k-ray dispatches), nsc must stay ≤ ~100 — scc is raised for
+    very large scenes so the queue fits (measured hard failure at
+    nsc=188: 'Allocation (size=1540096) would exceed memory
+    (size=1048576), space=smem')."""
     """Assemble (and pad, for the superchunk path) the kernel inputs.
     Scenes with ≤16 chunks use the flat grid (one grid step per chunk —
     fastest when the whole sweep fits a few steps); larger scenes use the
@@ -1119,6 +1125,7 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
         f"integer ids as f32 (exact only below 2^24). Split the scene or "
         f"use Traversal.UNIT/BVH.")
     nc = e // BT
+    scc = max(scc, -(-nc // 100))  # keep nsc <= ~100 (SMEM queue bound)
     tab = build_trace_table(scene)
     if nc <= 16:
         return _TracePrep(False, scene.isect_mu, scene.isect_mv,

@@ -227,14 +227,33 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         cell_span = jnp.maximum(cb[3:6].max(axis=1) - cell_lo, 1e-6)
     use_chunk_key = config.regen_sort_key == "chunk"
     if use_chunk_key:
-        nc_key = int(scene.isect_chunk_bounds.shape[1])
+        key_cb = scene.isect_chunk_bounds
+        nc_key = int(key_cb.shape[1])
+        if nc_key > 64:
+            # Big scenes: key on SUPERCHUNK bounds (the sc kernel's
+            # outer unit of work — and an affordable per-ray slab count:
+            # nc unrolled slabs per lane per iteration would be ~4
+            # GFlop/iter on the grid scene).
+            from gdpathtracing_tpu.ops.intersect_pallas import SCC
+            pad = (-nc_key) % SCC
+            cbp = jnp.pad(key_cb, ((0, 0), (0, pad)),
+                          constant_values=1e30)
+            nsc_key = cbp.shape[1] // SCC
+            lo = cbp[0:3].reshape(3, nsc_key, SCC).min(axis=2)
+            hi = jnp.where(
+                cbp[3:6].reshape(3, nsc_key, SCC) > 1e29, -1e30,
+                cbp[3:6].reshape(3, nsc_key, SCC)).max(axis=2)
+            key_cb = jnp.concatenate(
+                [lo, hi, jnp.zeros((2, nsc_key), jnp.float32)], axis=0)
+            nc_key = nsc_key
 
     def first_chunk_key(o, d, alive, fresh):
-        """Id of the first chunk the ray would ENTER (min positive slab
-        tmin over passing chunks) — aligns lane blocks with the kernel's
-        actual unit of work so a block's rays want the SAME chunks, not
-        just nearby origins. Octant minor; misses/dead last."""
-        cb = scene.isect_chunk_bounds
+        """Id of the first chunk (superchunk on big scenes) the ray
+        would ENTER (min positive slab tmin over passing boxes) —
+        aligns lane blocks with the kernel's actual unit of work so a
+        block's rays want the SAME sweeps, not just nearby origins.
+        Octant minor; misses/dead last."""
+        cb = key_cb
         rdx = 1.0 / jnp.where(jnp.abs(d.x) < 1e-30, 1e-30, d.x)
         rdy = 1.0 / jnp.where(jnp.abs(d.y) < 1e-30, 1e-30, d.y)
         rdz = 1.0 / jnp.where(jnp.abs(d.z) < 1e-30, 1e-30, d.z)
