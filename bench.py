@@ -153,8 +153,15 @@ def main() -> None:
                          "differentiable PALLAS path; Mrays/s counts the "
                          "forward segments once (the backward recompute is "
                          "the price of the gradient, not extra rays)")
+    ap.add_argument("--scc", type=int, default=None,
+                    help="override chunks-per-superchunk for the two-level "
+                         "kernel (sweeps; default ops.intersect_pallas.SCC)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+
+    if args.scc:
+        import gdpathtracing_tpu.ops.intersect_pallas as _ip
+        _ip.SCC = args.scc
 
     if args.only is None and set(sys.argv[1:]) <= {"--verbose"}:
         run_all_axes(args.verbose)

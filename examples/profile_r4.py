@@ -524,6 +524,65 @@ def stage_bwd(scene, camera):
     bench_scan("plain forward (same harness)", fwd_plain, k=2)
 
 
+def stage_micro5(scene, camera):
+    """Price the regen v4 FINAL log indexing (round 5b): pos scatter +
+    transpose + split row gathers at n_paths=2.07M, vs width/split
+    alternatives. The in-loop work is already measured; this is the one
+    frame-scope op never isolated."""
+    r = np.random.default_rng(0)
+    npth, nw = NFULL, 393216
+    LOG_R = 10
+    log0 = jnp.asarray(r.random((LOG_R, npth + nw), dtype=np.float32))
+    pid_l = jnp.asarray(r.permutation(npth).astype(np.int32))
+    iota = jnp.arange(npth, dtype=jnp.int32)
+
+    def pos_of(c):
+        pl_ = pid_l ^ (c.astype(jnp.int32) & 0)
+        return jnp.zeros(npth, jnp.int32).at[pl_].set(iota, mode="drop")
+
+    bench_scan("final: pos scatter only (2.07M)",
+               lambda c: pos_of(c).sum() + c)
+
+    def cur(c):
+        pos = pos_of(c)
+        log = log0 + c * 1e-30
+        rows8 = log[0:8, :npth].T[pos]
+        rows2 = log[8:LOG_R, :npth].T[pos]
+        return rows8[:, 0].sum() + rows2[:, 0].sum()
+
+    bench_scan("final: scatter + 8/2-split T gathers (CURRENT)", cur, k=2)
+
+    def one10(c):
+        pos = pos_of(c)
+        log = log0 + c * 1e-30
+        rows = log[:, :npth].T[pos]
+        return rows[:, 0].sum() + rows[:, 9].sum()
+
+    bench_scan("final: scatter + one (2.07M,10) T gather", one10, k=2)
+
+    def mat8(c):
+        # materialize the transpose (opt barrier) so the gather source
+        # is a contiguous row-major buffer, then one 8-wide gather
+        pos = pos_of(c)
+        log = log0 + c * 1e-30
+        t8 = jax.lax.optimization_barrier(log[0:8, :npth].T)
+        t2 = jax.lax.optimization_barrier(log[8:LOG_R, :npth].T)
+        return t8[pos][:, 0].sum() + t2[pos][:, 0].sum()
+
+    bench_scan("final: materialized-T + 8/2 gathers", mat8, k=2)
+
+    def split4(c):
+        pos = pos_of(c)
+        log = log0 + c * 1e-30
+        tot = c * 1e-30
+        for s in range(0, LOG_R, 4):
+            e = min(s + 4, LOG_R)
+            tot = tot + log[s:e, :npth].T[pos][:, 0].sum()
+        return tot
+
+    bench_scan("final: scatter + 4/4/2-split T gathers", split4, k=2)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
     scene, camera = setup()
@@ -541,6 +600,8 @@ def main():
         stage_micro3(scene, camera)
     if stage == "micro4":
         stage_micro4(scene, camera)
+    if stage == "micro5":
+        stage_micro5(scene, camera)
     if stage == "bwd":  # heavy compile — run explicitly
         stage_bwd(scene, camera)
     print("done", flush=True)

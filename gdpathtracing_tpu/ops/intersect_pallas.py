@@ -1104,9 +1104,14 @@ class _TracePrep(NamedTuple):
     #                           sc epilogue fetches both in ONE row
     #                           gather — 1-D gathers run ~27 ns/elem vs
     #                           ~5 ns/row packed)
+    scc: int = SCC            # effective chunks-per-superchunk this prep
+    #                           was padded for (kernel calls must use the
+    #                           SAME value — it sets nsc and the chunk
+    #                           interleave)
 
 
-def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
+def prepare_trace_inputs(scene: Scene, scc: "int | None" = None
+                         ) -> "_TracePrep":
     """NOTE: the sc kernels' per-block visit queue lives in SMEM
     (~1 MB): order bytes = n_blocks × nsc × 4. With n_blocks ≤ 2048
     (512k-ray dispatches), nsc must stay ≤ ~100 — scc is raised for
@@ -1125,6 +1130,8 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
         f"integer ids as f32 (exact only below 2^24). Split the scene or "
         f"use Traversal.UNIT/BVH.")
     nc = e // BT
+    if scc is None:
+        scc = SCC  # module global read at call time (bench --scc sweeps)
     scc = max(scc, -(-nc // 100))  # keep nsc <= ~100 (SMEM queue bound)
     tab = build_trace_table(scene)
     if nc <= 16:
@@ -1137,7 +1144,7 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
                           jnp.zeros(8, jnp.float32),
                           _sub_bounds(scene),
                           jnp.stack([scene.isect_tri, scene.isect_inst],
-                                    axis=1))
+                                    axis=1), scc)
 
     nc_pad = -(-nc // scc) * scc
     e_pad = nc_pad * BT
@@ -1168,7 +1175,7 @@ def prepare_trace_inputs(scene: Scene, scc: int = SCC) -> "_TracePrep":
                       _inflate_bounds(sc).T.reshape(-1),
                       jnp.zeros(8, jnp.float32),
                       jnp.stack([scene.isect_tri, scene.isect_inst],
-                                axis=1))
+                                axis=1), scc)
 
 
 def trace_pallas(scene: Scene, ray: Ray, active=None,
@@ -1212,6 +1219,7 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
             and prep.m3.size * 4 <= _SC_RESIDENT_BYTES:
         lite = _closest_hit_sc_lite(o4t, d4t, prep.sc_flat,
                                     prep.chunk_flat, prep.m3,
+                                    scc=prep.scc,
                                     interpret=interpret)[:, :n]
         t = lite[0]
         eidx = lite[1].astype(jnp.int32)
@@ -1245,7 +1253,7 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
                        front=w_d < 0.0, steps=steps, eidx=eidx)
     if prep.superchunks:
         rows = _closest_hit_rows_sc(o4t, d4t, prep.sc_flat, prep.chunk_flat,
-                                    prep.m3, prep.tab,
+                                    prep.m3, prep.tab, scc=prep.scc,
                                     interpret=interpret)[:, :n]
     else:
         rows = _closest_hit_rows(o4t, d4t, scene.isect_chunk_bounds,
@@ -1323,8 +1331,10 @@ def trace_pallas_diff(scene: Scene, ray: Ray, active=None,
     trace_pallas up to fp-association of the recompute."""
     interpret = interpret or _FORCE_INTERPRET
     sg = jax.lax.stop_gradient
-    if prep is not None:  # sg array fields; keep the python-bool flag
-        prep = _TracePrep(prep.superchunks, *(sg(a) for a in prep[1:]))
+    if prep is not None:  # sg array fields; keep the python statics
+        prep = prep._replace(**{k: sg(v) for k, v in
+                                prep._asdict().items()
+                                if k not in ("superchunks", "scc")})
     hit0 = trace_pallas(sg(scene), Ray(sg(ray.o), sg(ray.d)),
                         None if active is None else sg(active),
                         interpret=interpret, prep=prep)
@@ -1345,7 +1355,9 @@ def trace_occlude_pallas_diff(scene: Scene, ray: Ray, active,
     interpret = interpret or _FORCE_INTERPRET
     sg = jax.lax.stop_gradient
     if prep is not None:
-        prep = _TracePrep(prep.superchunks, *(sg(a) for a in prep[1:]))
+        prep = prep._replace(**{k: sg(v) for k, v in
+                                prep._asdict().items()
+                                if k not in ("superchunks", "scc")})
     hit0, occ = trace_occlude_pallas(
         sg(scene), Ray(sg(ray.o), sg(ray.d)),
         None if active is None else sg(active),

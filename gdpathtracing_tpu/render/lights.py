@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gdpathtracing_tpu.core.math3d import affine_apply_point
@@ -86,14 +87,38 @@ def sample_light(table: LightTable, position: Vec3, r_pick, r1, r2
                  ) -> LightSample:
     """Pick an emitter ∝ power, sample a uniform point on it, convert the
     area pdf to solid angle at `position`."""
-    # Default searchsorted lowers to a binary-search scan whose per-round
-    # gathers cost ~2 ms each on TPU; an all-compare reduction is pure VPU
-    # work and ~10x cheaper for small emitter counts.
-    method = "compare_all" if table.cdf.shape[0] <= 4096 else "sort"
-    l = jnp.searchsorted(table.cdf, r_pick, method=method)
-    l = jnp.clip(l, 0, table.cdf.shape[0] - 1)
-
-    r = table.rows[l]  # (N, 17) — ONE row gather for all emitter data
+    L = table.cdf.shape[0]
+    if L <= 128:
+        # One-hot MXU fetch (round 5b): for small emitter counts the
+        # CDF pick AND the row fetch are one (N, L) comparison matrix
+        # and one HIGHEST-precision matmul — no searchsorted scan, no
+        # row gather (the backward pass's one-hot material-fetch lesson,
+        # render/shading.py get_shading_data_fast). Bit-exact: exactly
+        # one row weight is 1.0 and the rest contribute 0*finite = 0.
+        # Row selected = clip(#(cdf < r), 0, L-1), identical to the
+        # searchsorted('left') + clip below.
+        c = (table.cdf[None, :] >= r_pick[:, None])  # non-decr. in j;
+        # >= so a cdf[j] == r tie picks j, matching searchsorted('left')
+        cf = c.astype(jnp.float32)
+        if L > 1:
+            oh = jnp.concatenate(
+                [cf[:, :1], cf[:, 1:] - cf[:, :-1]], axis=1)
+            # clamp: r beyond cdf[-2] lands on the last emitter even if
+            # float roundoff leaves cdf[-1] < 1
+            oh = oh.at[:, L - 1].set(1.0 - cf[:, L - 2])
+        else:
+            oh = jnp.ones_like(cf)
+        r = jax.lax.dot_general(
+            oh, table.rows, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # (N, 17)
+    else:
+        # Default searchsorted lowers to a binary-search scan whose
+        # per-round gathers cost ~2 ms each on TPU; an all-compare
+        # reduction is pure VPU work and ~10x cheaper when it fits.
+        method = "compare_all" if L <= 4096 else "sort"
+        l = jnp.searchsorted(table.cdf, r_pick, method=method)
+        l = jnp.clip(l, 0, L - 1)
+        r = table.rows[l]  # (N, 17) — ONE row gather for all emitter data
     v0 = Vec3(r[:, 0], r[:, 1], r[:, 2])
     e1 = Vec3(r[:, 3], r[:, 4], r[:, 5])
     e2 = Vec3(r[:, 6], r[:, 7], r[:, 8])

@@ -580,47 +580,56 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # campaign r5g) and was reverted: XLA fuses the single
             # stack+gather+unstack better than six separate ones. The
             # micro rates apply to standalone gathers, not this pattern.
+            #
+            # ONE merged gather (round-5b): row-gather cost is per-ROW
+            # per-GATHER (~11-14 ns/row isolated, width <=128 rides the
+            # same padded tile for free — profile_r4 micro2/micro3), so
+            # the float/int/pending column groups all ride a SINGLE
+            # packed matrix. Carrier dtype is int32: f32 lanes BITCAST
+            # to i32 (exact), because ints must never transit the f32
+            # datapath (TPU flushes denormals — docs/STATUS.md item 3;
+            # the int path is bit-safe for both).
             bc = jax.lax.bitcast_convert_type
-            fm = jnp.stack([ray_o.x, ray_o.y, ray_o.z,
-                            ray_d.x, ray_d.y, ray_d.z,
-                            throughput.x, throughput.y, throughput.z,
-                            radiance.x, radiance.y, radiance.z,
-                            prev_pdf, depth1,
-                            normal1.x, normal1.y, normal1.z], axis=1)[perm]
+            cols = [ray_o.x, ray_o.y, ray_o.z,
+                    ray_d.x, ray_d.y, ray_d.z,
+                    throughput.x, throughput.y, throughput.z,
+                    radiance.x, radiance.y, radiance.z,
+                    prev_pdf, depth1,
+                    normal1.x, normal1.y, normal1.z]  # 17 f32
+            NI = len(cols)
             icols = [bc(seed[0], jnp.int32), bc(seed[1], jnp.int32),
                      pid, bounce, steps, segs]
             if fuse_nee:
                 icols += [new_p_sh_active.astype(jnp.int32),
                           new_p_row_active.astype(jnp.int32), c["pid"]]
-            im = jnp.stack(icols, axis=1)[perm]
-            ray_o = Vec3(fm[:, 0], fm[:, 1], fm[:, 2])
-            ray_d = Vec3(fm[:, 3], fm[:, 4], fm[:, 5])
-            throughput = Vec3(fm[:, 6], fm[:, 7], fm[:, 8])
-            radiance = Vec3(fm[:, 9], fm[:, 10], fm[:, 11])
-            prev_pdf, depth1 = fm[:, 12], fm[:, 13]
-            normal1 = Vec3(fm[:, 14], fm[:, 15], fm[:, 16])
-            seed = (bc(im[:, 0], jnp.uint32), bc(im[:, 1], jnp.uint32))
-            pid, bounce = im[:, 2], im[:, 3]
-            steps, segs = im[:, 4], im[:, 5]
+                cols += [new_p_sh_o.x, new_p_sh_o.y, new_p_sh_o.z,
+                         new_p_sh_d.x, new_p_sh_d.y, new_p_sh_d.z,
+                         new_p_sh_tmax, new_p_pend.x, new_p_pend.y,
+                         new_p_pend.z] + list(new_p_vals)  # +19 f32
+            m = jnp.stack([bc(x, jnp.int32) for x in cols] + icols,
+                          axis=1)[perm]
+            NC = len(cols)
+            fcol = lambda k: bc(m[:, k], jnp.float32)
+            ray_o = Vec3(fcol(0), fcol(1), fcol(2))
+            ray_d = Vec3(fcol(3), fcol(4), fcol(5))
+            throughput = Vec3(fcol(6), fcol(7), fcol(8))
+            radiance = Vec3(fcol(9), fcol(10), fcol(11))
+            prev_pdf, depth1 = fcol(12), fcol(13)
+            normal1 = Vec3(fcol(14), fcol(15), fcol(16))
+            seed = (bc(m[:, NC], jnp.uint32), bc(m[:, NC + 1], jnp.uint32))
+            pid, bounce = m[:, NC + 2], m[:, NC + 3]
+            steps, segs = m[:, NC + 4], m[:, NC + 5]
             alive = lane_iota < n_alive
             if fuse_nee:
-                # Pendings + deferred retirement values ride the same
-                # permutation (all (nw, <=128)-wide matrices pad to the
-                # same 128-lane tile, so extra columns are ~free).
-                pfm = jnp.stack([new_p_sh_o.x, new_p_sh_o.y, new_p_sh_o.z,
-                                 new_p_sh_d.x, new_p_sh_d.y, new_p_sh_d.z,
-                                 new_p_sh_tmax, new_p_pend.x, new_p_pend.y,
-                                 new_p_pend.z] + list(new_p_vals),
-                                axis=1)[perm]
-                new_p_sh_o = Vec3(pfm[:, 0], pfm[:, 1], pfm[:, 2])
-                new_p_sh_d = Vec3(pfm[:, 3], pfm[:, 4], pfm[:, 5])
-                new_p_sh_tmax = pfm[:, 6]
-                new_p_pend = Vec3(pfm[:, 7], pfm[:, 8], pfm[:, 9])
-                new_p_vals = tuple(pfm[:, 10 + k]
+                new_p_sh_o = Vec3(fcol(NI), fcol(NI + 1), fcol(NI + 2))
+                new_p_sh_d = Vec3(fcol(NI + 3), fcol(NI + 4), fcol(NI + 5))
+                new_p_sh_tmax = fcol(NI + 6)
+                new_p_pend = Vec3(fcol(NI + 7), fcol(NI + 8), fcol(NI + 9))
+                new_p_vals = tuple(fcol(NI + 10 + k)
                                    for k in range(OUT_COLS))
-                new_p_sh_active = im[:, 6].astype(bool)
-                new_p_row_active = im[:, 7].astype(bool)
-                new_p_pid = im[:, 8]
+                new_p_sh_active = m[:, NC + 6].astype(bool)
+                new_p_row_active = m[:, NC + 7].astype(bool)
+                new_p_pid = m[:, NC + 8]
         elif fuse_nee:
             new_p_pid = c["pid"]
 
