@@ -153,6 +153,16 @@ def main() -> None:
                          "differentiable PALLAS path; Mrays/s counts the "
                          "forward segments once (the backward recompute is "
                          "the price of the gradient, not extra rays)")
+    ap.add_argument("--unfused-nee", action="store_true",
+                    help="A/B hook: separate occlusion dispatch per "
+                         "iteration instead of the fused phase-B kernel "
+                         "(no pendings state)")
+    ap.add_argument("--march", action="store_true",
+                    help="force the frontier-march traversal on")
+    ap.add_argument("--no-march", action="store_true",
+                    help="force the frontier-march traversal off")
+    ap.add_argument("--march-ql", type=int, default=None,
+                    help="march queue slots per block (regen_march_ql)")
     ap.add_argument("--scc", type=int, default=None,
                     help="override chunks-per-superchunk for the two-level "
                          "kernel (sweeps; default ops.intersect_pallas.SCC)")
@@ -162,6 +172,9 @@ def main() -> None:
     if args.scc:
         import gdpathtracing_tpu.ops.intersect_pallas as _ip
         _ip.SCC = args.scc
+    if args.unfused_nee:
+        import gdpathtracing_tpu.render.integrator as _integ
+        _integ._FORCE_UNFUSED_NEE = True
 
     if args.only is None and set(sys.argv[1:]) <= {"--verbose"}:
         run_all_axes(args.verbose)
@@ -201,6 +214,12 @@ def main() -> None:
         config = config.replace(compact_rays=False)
     if args.sort_key:
         config = config.replace(regen_sort_key=args.sort_key)
+    if args.march:
+        config = config.replace(regen_march=True)
+    if args.no_march:
+        config = config.replace(regen_march=False)
+    if args.march_ql is not None:
+        config = config.replace(regen_march_ql=args.march_ql)
     if args.regen:
         config = config.replace(regen=True)
     if args.no_regen:

@@ -222,6 +222,19 @@ class RenderConfig:
     #                           enters x octant — aligns blocks with the
     #                           kernel's unit of work (the chunk sweep)
     #                           instead of raw origin locality.
+    regen_march: bool | None = None  # frontier-march traversal for
+    #                           superchunk scenes (render/regen.py +
+    #                           ops/intersect_pallas.py march_*): rays
+    #                           advance at most one superchunk per regen
+    #                           iteration, lanes re-sort by their NEXT
+    #                           superchunk, blocks sweep only the <=QL
+    #                           superchunks their rays want. None = auto
+    #                           (ON where march_supported: two-level prep
+    #                           with VMEM-resident m3). The flat-kernel
+    #                           (small-scene) path never marches.
+    regen_march_ql: int = 2     # queue slots (distinct superchunks) per
+    #                           block per march round; lanes beyond the
+    #                           QL-th distinct superchunk wait a round.
     temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
     temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
     denoising: DenoisingMode = DenoisingMode.PROGRESSIVE

@@ -1015,41 +1015,50 @@ def _kernel_sc_lite(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, m3_ref,
     @pl.when(jnp.any(sc_may))
     def _():
         out_ref[3, :] = out_ref[3, :] + 1.0  # superchunk entries (telem)
-        for c in range(scc):  # static unroll (RUNTIME_BUG.md rule)
-            cur_c = out_ref[0, :]
-            tmin, tmax = _slab(chunk_ref, (scid * scc + c) * 8,
-                               ox, oy, oz, rdx, rdy, rdz)
-            may = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur_c)
+        _lite_sc_sweep(out_ref, o4, d4, chunk_ref, m3_ref, scid,
+                       ox, oy, oz, rdx, rdy, rdz, scc)
 
-            @pl.when(jnp.any(may))
-            def _(c=c, may=may):
-                out_ref[2, :] = out_ref[2, :] + \
-                    jnp.where(may, float(BT), 0.0)
-                m3c = m3_ref[:, pl.ds((scid * scc + c) * 3 * BT, 3 * BT)]
-                u_o, v_o, w_o = _uvw(o4, m3c)
-                u_d, v_d, w_d = _uvw(d4, m3c)
-                wd_ok = jnp.abs(w_d) > _WD_EPS
-                inv_wd = jnp.where(wd_ok, w_d, 1.0)
-                t = -w_o / inv_wd
-                u = u_o + t * u_d
-                v = v_o + t * v_d
-                valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & \
-                    (u + v <= 1.0)
-                t = jnp.where(valid, t, _MISS)
-                tk = jnp.min(t, axis=1)
-                cur2 = out_ref[0, :]
-                cur_e = out_ref[1, :]
-                better0 = (tk < cur2) & may
-                tie = (tk == cur2) & (tk < _MISS) & may
 
-                @pl.when(jnp.any(better0 | tie))
-                def _(t=t, tk=tk, cur2=cur2, cur_e=cur_e,
-                      better0=better0, tie=tie, c=c):
-                    k = jnp.argmin(t, axis=1).astype(jnp.int32)
-                    eidx = ((scid * scc + c) * BT + k).astype(jnp.float32)
-                    better = better0 | (tie & (eidx < cur_e))
-                    out_ref[0, :] = jnp.where(better, tk, cur2)
-                    out_ref[1, :] = jnp.where(better, eidx, cur_e)
+def _lite_sc_sweep(out_ref, o4, d4, chunk_ref, m3_ref, scid,
+                   ox, oy, oz, rdx, rdy, rdz, scc):
+    """One superchunk's statically-unrolled chunk sweep for the lite-row
+    (t/eidx/steps) kernels — shared by _kernel_sc_lite and the march
+    kernel. Winner rule: lexicographic (t, eidx), per-ray slab gates."""
+    for c in range(scc):  # static unroll (RUNTIME_BUG.md rule)
+        cur_c = out_ref[0, :]
+        tmin, tmax = _slab(chunk_ref, (scid * scc + c) * 8,
+                           ox, oy, oz, rdx, rdy, rdz)
+        may = (tmax >= tmin) & (tmax > 0.0) & (tmin <= cur_c)
+
+        @pl.when(jnp.any(may))
+        def _(c=c, may=may):
+            out_ref[2, :] = out_ref[2, :] + \
+                jnp.where(may, float(BT), 0.0)
+            m3c = m3_ref[:, pl.ds((scid * scc + c) * 3 * BT, 3 * BT)]
+            u_o, v_o, w_o = _uvw(o4, m3c)
+            u_d, v_d, w_d = _uvw(d4, m3c)
+            wd_ok = jnp.abs(w_d) > _WD_EPS
+            inv_wd = jnp.where(wd_ok, w_d, 1.0)
+            t = -w_o / inv_wd
+            u = u_o + t * u_d
+            v = v_o + t * v_d
+            valid = wd_ok & (t > 0.0) & (u >= 0.0) & (v >= 0.0) & \
+                (u + v <= 1.0)
+            t = jnp.where(valid, t, _MISS)
+            tk = jnp.min(t, axis=1)
+            cur2 = out_ref[0, :]
+            cur_e = out_ref[1, :]
+            better0 = (tk < cur2) & may
+            tie = (tk == cur2) & (tk < _MISS) & may
+
+            @pl.when(jnp.any(better0 | tie))
+            def _(t=t, tk=tk, cur2=cur2, cur_e=cur_e,
+                  better0=better0, tie=tie, c=c):
+                k = jnp.argmin(t, axis=1).astype(jnp.int32)
+                eidx = ((scid * scc + c) * BT + k).astype(jnp.float32)
+                better = better0 | (tie & (eidx < cur_e))
+                out_ref[0, :] = jnp.where(better, tk, cur2)
+                out_ref[1, :] = jnp.where(better, eidx, cur_e)
 
 
 @functools.partial(jax.jit, static_argnames=("scc", "interpret"))
@@ -1085,6 +1094,218 @@ def _closest_hit_sc_lite(o4t, d4t, sc_flat, chunk_flat, m3,
         interpret=interpret,
     )(sc_flat, chunk_flat, order, o4t, d4t, m3)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Frontier-march traversal (round 5b): the incoherent-scene fix. A mixed
+# wavefront's blocks want ~every superchunk, so the one-shot sc kernels
+# sweep O(all chunks) per block (grid scene: ~2.6 µs/ray random vs
+# ~0.08 coherent — campaign r5h2). Marching advances each ray at most
+# ONE superchunk per regen iteration and the regen loop re-sorts lanes
+# by their NEXT superchunk, so every block sweeps only the <=QL distinct
+# superchunks its rays actually want — the wavefront analog of ordered
+# per-ray BVH descent (reference main.glsl:305-350), built from sorting
+# instead of per-thread stacks. All march bookkeeping lives in XLA: the
+# kernel only (a) starts from a carried-in running best instead of MISS
+# and (b) sweeps the queue it is given. Sweeps are idempotent and sound
+# for ANY superchunk (per-ray slab + lexicographic (t, eidx) merge), so
+# extra sweeps never flip a result — the composition-independence
+# invariant extends to march schedules.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_sc_march(sc_ref, chunk_ref, ord_ref, o4_ref, d4_ref, init_ref,
+                     m3_ref, out_ref, *, scc, nsc):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ql = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((LITE_R, out_ref.shape[1]), jnp.float32)
+        out_ref[0, :] = init_ref[0, :]  # carried-in best t
+        out_ref[1, :] = init_ref[1, :]  # carried-in best eidx (f32 value)
+
+    qv = ord_ref[i * ql + j]
+    scid = jnp.where(qv >= nsc, qv - nsc, qv)  # sentinel decode
+
+    o4 = o4_ref[...]
+    d4 = d4_ref[...]
+    ox, oy, oz = o4[0, :], o4[1, :], o4[2, :]
+    dx, dy, dz = d4[0, :], d4[1, :], d4[2, :]
+    rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
+
+    cur = out_ref[0, :]
+    s_tmin, s_tmax = _slab(sc_ref, scid * 8, ox, oy, oz, rdx, rdy, rdz)
+    sc_may = (s_tmax >= s_tmin) & (s_tmax > 0.0) & (s_tmin <= cur) \
+        & (qv < nsc)
+
+    @pl.when(jnp.any(sc_may))
+    def _():
+        out_ref[3, :] = out_ref[3, :] + 1.0  # superchunk entries (telem)
+        _lite_sc_sweep(out_ref, o4, d4, chunk_ref, m3_ref, scid,
+                       ox, oy, oz, rdx, rdy, rdz, scc)
+
+
+@functools.partial(jax.jit, static_argnames=("scc", "nsc", "interpret"))
+def _march_step_sc(o4t, d4t, init2, queue, sc_flat, chunk_flat, m3,
+                   scc, nsc, interpret=False):
+    """One march round: sweep each block's <=QL queued superchunks,
+    merging into the carried-in best. Returns (LITE_R, n) lite rows
+    (t | eidx | tri-tests | sc-entries)."""
+    n = o4t.shape[1]
+    e = m3.shape[1] // 3
+    ql = queue.shape[0] // (n // BN)
+    grid = (n // BN, ql)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((4, BN), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((2, BN), lambda i, j, *_: (0, i)),
+            # RESIDENT m3 (same envelope as the lite kernel)
+            pl.BlockSpec((4, 3 * e), lambda i, j, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((LITE_R, BN), lambda i, j, *_: (0, i)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(_kernel_sc_march, scc=scc, nsc=nsc),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((LITE_R, n), jnp.float32,
+                                        vma=out_vma(o4t, d4t, m3, init2))],
+        interpret=interpret,
+    )(sc_flat, chunk_flat, queue, o4t, d4t, init2, m3)
+    return out
+
+
+def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
+    """The march's XLA-side candidate scan: each ray's next TWO
+    unprocessed superchunks in (entry, scid) lexicographic near-to-far
+    order, culled by the running best (entry <= b_t keeps exact-tie
+    sweeps so the lexicographic winner matches the one-shot kernels).
+    `(m_t, m_sc)` is the march cursor: everything lex-<= it is already
+    processed. Conservative by the same slack rule as the block queues.
+    Returns (n1_e, n1_s, n2_e, n2_s); s == nsc means none."""
+    sc_b = prep.sc_flat.reshape(-1, 8).T  # (8, nsc) inflated bounds
+    nsc = sc_b.shape[1]
+    rdx, rdy, rdz = _rcp(d.x), _rcp(d.y), _rcp(d.z)
+    inf = jnp.float32(jnp.inf)
+    e1 = jnp.full_like(o.x, inf)
+    s1 = jnp.full_like(m_sc, nsc)
+    e2, s2 = e1, s1
+    for s in range(nsc):
+        tmin, tmax = _slab(sc_b[:, s], 0, o.x, o.y, o.z, rdx, rdy, rdz)
+        slack = 1e-5 * jnp.abs(tmax) + 1e-6
+        entry = jnp.maximum(tmin, 0.0)
+        ok = (tmax + slack >= tmin) & (tmax > -1e-6) & alive \
+            & (entry <= b_t) \
+            & ((entry > m_t) | ((entry == m_t) & (s > m_sc)))
+        key = jnp.where(ok, entry, inf)
+        # ascending s: an exact tie keeps the earlier (smaller-s) slot
+        first = key < e1
+        second = ~first & (key < e2)
+        e2 = jnp.where(first, e1, jnp.where(second, key, e2))
+        s2 = jnp.where(first, s1, jnp.where(second, s, s2))
+        e1 = jnp.where(first, key, e1)
+        s1 = jnp.where(first, s, s1)
+    return e1, s1, e2, s2
+
+
+def march_block_queue(n1_s, nsc, ql):
+    """Per-block superchunk queue from the (sorted) next-sc lane column:
+    the first <=ql DISTINCT wanted superchunks of each 256-lane block
+    (runs of equal keys share a slot; out-of-order duplicates just waste
+    one — correct either way since sweeps are idempotent). Returns
+    (queue (n_blocks*ql,) i32 with `nsc`-sentinel padding, q_ok (n,)
+    bool — whether each lane's n1 made it into its block's queue, i.e.
+    whether its sweep happens next round)."""
+    nb = n1_s.shape[0] // BN
+    k = n1_s.reshape(nb, BN)
+    head = jnp.concatenate(
+        [jnp.ones((nb, 1), bool), k[:, 1:] != k[:, :-1]], axis=1)
+    valid = head & (k < nsc)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    q_ok = (rank >= 0) & (rank < ql) & (k < nsc)
+    idx = jnp.where(valid & (rank < ql),
+                    jnp.arange(nb, dtype=jnp.int32)[:, None] * ql + rank,
+                    nb * ql)
+    # base derives from k so the loop carry keeps shard_map vma typing
+    # (CLAUDE.md: the `x * 0 + const` pattern)
+    base = k[:, :ql].reshape(-1) * 0 + nsc
+    queue = base.at[idx.reshape(-1)].set(k.reshape(-1), mode="drop")
+    return queue, q_ok.reshape(-1)
+
+
+def march_sweep(scene: Scene, prep: "_TracePrep", ray: Ray, active,
+                b_t, b_e, queue, interpret: bool = False):
+    """Dispatch one march round over the current wavefront. Returns
+    (b_t, b_e, tri_tests) with the carried best merged with this
+    round's sweeps. Lane count must be a BN multiple (regen guarantees
+    it)."""
+    n = ray.o.x.shape[0]
+    assert n % BN == 0
+    interpret = interpret or _FORCE_INTERPRET
+    ox, oy, oz = ray.o.x, ray.o.y, ray.o.z
+    dx, dy, dz = ray.d.x, ray.d.y, ray.d.z
+    if active is not None:  # park dead rays (every slab fails)
+        far, s3 = 1e9, 0.5773503
+        ox = jnp.where(active, ox, far)
+        oy = jnp.where(active, oy, far)
+        oz = jnp.where(active, oz, far)
+        dx = jnp.where(active, dx, s3)
+        dy = jnp.where(active, dy, s3)
+        dz = jnp.where(active, dz, s3)
+    o4t = jnp.stack([ox, oy, oz, ox * 0 + 1.0], axis=0)
+    d4t = jnp.stack([dx, dy, dz, dx * 0], axis=0)
+    init2 = jnp.stack([b_t, b_e.astype(jnp.float32)], axis=0)
+    nsc = prep.sc_flat.shape[0] // 8
+    out = _march_step_sc(o4t, d4t, init2, queue, prep.sc_flat,
+                         prep.chunk_flat, prep.m3, scc=prep.scc,
+                         nsc=nsc, interpret=interpret)
+    return out[0], out[1].astype(jnp.int32), out[2].astype(jnp.int32)
+
+
+def march_supported(scene: Scene, prep: "_TracePrep") -> bool:
+    """March needs the two-level prep and the VMEM-resident m3 (the
+    march kernel keeps the whole m3 resident like the lite kernel)."""
+    return bool(prep.superchunks) and _SC_LITE \
+        and prep.m3.size * 4 <= _SC_RESIDENT_BYTES
+
+
+def lite_epilogue(scene: Scene, prep: "_TracePrep", ray: Ray, active,
+                  t, eidx):
+    """Winner u/v/front/tri/inst from (t, eidx) — the lite kernels' XLA
+    epilogue (one packed (N, 12) isect_cols row + 4-term dots, one
+    (N, 2) tri_inst row), shared by trace_pallas's lite branch and the
+    march integrator."""
+    hit = t < MISS_T
+    eidx = jnp.where(hit, eidx, 0)
+    rows12 = scene.isect_cols[eidx]
+
+    def dot4(c0, x, y, z, w_):
+        return rows12[:, c0] * x + rows12[:, c0 + 1] * y + \
+            rows12[:, c0 + 2] * z + rows12[:, c0 + 3] * w_
+
+    ox, oy, oz = ray.o.x, ray.o.y, ray.o.z
+    dx, dy, dz = ray.d.x, ray.d.y, ray.d.z
+    one = ox * 0.0 + 1.0
+    zero = ox * 0.0
+    u = dot4(0, ox, oy, oz, one) + t * dot4(0, dx, dy, dz, zero)
+    v = dot4(4, ox, oy, oz, one) + t * dot4(4, dx, dy, dz, zero)
+    w_d = dot4(8, dx, dy, dz, zero)
+    ti = prep.tri_inst[eidx]  # (N, 2)
+    tri = jnp.where(hit, ti[:, 0], 0)
+    inst = jnp.where(hit, ti[:, 1], 0)
+    if active is not None:
+        t = jnp.where(active, t, MISS_T)
+    return HitInfo(t=t, tri=tri, inst=inst,
+                   u=jnp.clip(u, 0.0, 1.0), v=jnp.clip(v, 0.0, 1.0),
+                   front=w_d < 0.0, steps=t.astype(jnp.int32) * 0,
+                   eidx=eidx)
 
 
 class _TracePrep(NamedTuple):
@@ -1221,36 +1442,15 @@ def trace_pallas(scene: Scene, ray: Ray, active=None,
                                     prep.chunk_flat, prep.m3,
                                     scc=prep.scc,
                                     interpret=interpret)[:, :n]
-        t = lite[0]
-        eidx = lite[1].astype(jnp.int32)
-        steps = lite[2].astype(jnp.int32)
-        hit = t < MISS_T
-
         # Classic gather epilogue: winner's u/v/front from ONE packed
         # (N, 12) isect_cols row + 4-term dots; tri/inst from one packed
         # (N, 2) row. Shading then uses get_shading_data_fast (rows is
         # None) — the right trade on big incoherent scenes, where the
         # kernel's per-superchunk table streaming and per-sweep rows
         # merge cost far more than these gathers.
-        rows12 = scene.isect_cols[eidx]
-
-        def dot4(c0, x, y, z, w_):
-            return rows12[:, c0] * x + rows12[:, c0 + 1] * y + \
-                rows12[:, c0 + 2] * z + rows12[:, c0 + 3] * w_
-
-        one = ray.o.x * 0.0 + 1.0
-        zero = ray.o.x * 0.0
-        u = dot4(0, ox, oy, oz, one) + t * dot4(0, dx, dy, dz, zero)
-        v = dot4(4, ox, oy, oz, one) + t * dot4(4, dx, dy, dz, zero)
-        w_d = dot4(8, dx, dy, dz, zero)
-        ti = prep.tri_inst[eidx]  # (N, 2)
-        tri = jnp.where(hit, ti[:, 0], 0)
-        inst = jnp.where(hit, ti[:, 1], 0)
-        if active is not None:
-            t = jnp.where(active, t, MISS_T)
-        return HitInfo(t=t, tri=tri, inst=inst,
-                       u=jnp.clip(u, 0.0, 1.0), v=jnp.clip(v, 0.0, 1.0),
-                       front=w_d < 0.0, steps=steps, eidx=eidx)
+        return lite_epilogue(scene, prep, ray, active, lite[0],
+                             lite[1].astype(jnp.int32))._replace(
+            steps=lite[2].astype(jnp.int32))
     if prep.superchunks:
         rows = _closest_hit_rows_sc(o4t, d4t, prep.sc_flat, prep.chunk_flat,
                                     prep.m3, prep.tab, scc=prep.scc,

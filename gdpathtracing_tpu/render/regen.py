@@ -130,6 +130,27 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         if nee_prep.superchunks:  # flat-grid fused kernel only
             fuse_nee = False
 
+    # Frontier-march traversal (round 5b) for superchunk scenes: the
+    # one-shot sc kernel sweeps O(all superchunks) per incoherent block;
+    # marching advances each ray ONE superchunk per iteration with lanes
+    # re-sorted by their next superchunk, so blocks sweep only what
+    # their rays want. See ops/intersect_pallas.py march_* docs.
+    use_march = False
+    if (config.traversal == Traversal.PALLAS and not fuse_nee
+            and not dict(_DEBUG)["skip_trace"]):
+        from gdpathtracing_tpu.ops import intersect_pallas as _ip
+        m_prep = _ip.prepare_trace_inputs(scene)
+        m_ok = _ip.march_supported(scene, m_prep)
+        use_march = m_ok if config.regen_march is None \
+            else (bool(config.regen_march) and m_ok)
+    if use_march:
+        from gdpathtracing_tpu.render.types import MISS_T as _MISS_T
+        QL = int(config.regen_march_ql)
+        nsc_total = m_prep.sc_flat.shape[0] // 8
+        BIG_E = jnp.int32((1 << 24) - 1)  # "no winner" eidx: exact in
+        #                                   f32 and > any real eidx
+        NEG_INF = jnp.float32(-jnp.inf)
+
     def spawn(path_id):
         """Camera ray + RNG stream of path `path_id` — identical to the
         renderer's per-tile spawn (pixel-major within each spp sample)."""
@@ -161,8 +182,14 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     # everything pid-indexed. See config.regen_retire.
     use_log = (config.regen_retire == "log" and compact_lanes
                and not dbg["skip_append"]
-               and n_paths < (1 << 24))  # pid rides the log as exact f32
-    LOG_R = 10  # r g b depth nx ny nz steps segs pid(bitcast)
+               and n_paths < (1 << 24)  # pid rides the log as exact f32
+               and 2 * config.bounces + 1 < 32)  # segs fits the pack
+    LOG_R = 9  # r g b depth nx ny nz pack(steps*32+segs) pid — steps
+    #           and segs share one f32-exact column (steps clamped to
+    #           2^19-1 so the pack stays < 2^24) to keep the DATA rows
+    #           at 8: the final pid-indexing is then ONE 8-wide row
+    #           gather (micro5: the 8/2 split cost 31.9 ms/frame at
+    #           2.07M, the 2-wide half being pure per-row issue cost).
     log_len = n_paths + nw
 
     init = dict(
@@ -182,6 +209,19 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     else:
         init.update(out=tuple(jnp.zeros(n_paths, f32)
                               for _ in range(OUT_COLS)))
+    if use_march:
+        # all derive from sharded inits (vma typing under shard_map)
+        mt0 = zero + NEG_INF
+        ms0 = lane0 * 0 - 1
+        bt0 = zero + f32(_MISS_T)
+        be0 = lane0 * 0 + BIG_E
+        n1e0, n1s0, n2e0, n2s0 = _ip.march_next_candidates(
+            m_prep, ray0.o, ray0.d, init["active"], mt0, ms0, bt0)
+        q0, qok0 = _ip.march_block_queue(n1s0, nsc_total, QL)
+        init.update(m_t=mt0, m_sc=ms0, b_t=bt0, b_e=be0,
+                    n1_e=n1e0, n1_s=n1s0, n2_e=n2e0, n2_s=n2s0,
+                    queue=q0, q_ok=qok0)
+
     # Perf telemetry (return_stats): per-iteration live-lane count and
     # taken block-sweep totals from the kernel's row-46/47 counters —
     # the block-composition evidence VERDICT r4 asked for.
@@ -371,8 +411,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                 # dstart + n_fresh_prev) in the CURRENT lane layout
                 # (last iteration's 3-way sort put them right after its
                 # survivors): roll them to the window front and append.
-                window = jnp.stack(list(p_vals) + [bcf(c["p_pid"])],
-                                   axis=0)
+                # p_vals[7:9] are steps/segs as exact f32 — pack them
+                # into the shared column (f32 arithmetic exact < 2^24).
+                ppack = jnp.minimum(p_vals[7], float((1 << 19) - 1)) \
+                    * 32.0 + p_vals[8]
+                window = jnp.stack(list(p_vals[:7])
+                                   + [ppack, bcf(c["p_pid"])], axis=0)
                 window = jnp.roll(window, -c["dstart"], axis=1)
                 log = jax.lax.dynamic_update_slice(log, window,
                                                    (0, retired))
@@ -398,11 +442,37 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                 scene, r, active, Ray(c["p_sh_o"], c["p_sh_d"]),
                 c["p_sh_tmax"], c["p_sh_active"], prep=nee_prep)
             p_vals = resolve_pending(p_occ)
+        elif use_march:
+            # One march round: sweep each block's queued superchunks
+            # into the carried best, advance the march cursor where the
+            # lane's wanted superchunk was actually in its block queue,
+            # and complete the segment when no remaining candidate can
+            # beat the running best (rem_e > b_t keeps exact-entry ties
+            # sweeping, preserving the lexicographic winner).
+            b_t, b_e, tsteps = _ip.march_sweep(
+                scene, m_prep, r, active, c["b_t"], c["b_e"], c["queue"])
+            advanced = c["q_ok"] & active & (c["n1_s"] < nsc_total)
+            m_t = jnp.where(advanced, c["n1_e"], c["m_t"])
+            m_sc = jnp.where(advanced, c["n1_s"], c["m_sc"])
+            rem_e = jnp.where(advanced, c["n2_e"], c["n1_e"])
+            rem_s = jnp.where(advanced, c["n2_s"], c["n1_s"])
+            seg_done = active & ((rem_s >= nsc_total) | (rem_e > b_t))
+            hit = _ip.lite_epilogue(scene, m_prep, r, seg_done,
+                                    b_t, b_e)
         else:
             hit = trace_fn(scene, r, active)
-        is_hit = hit.hit & active
-        steps = steps + jnp.where(active, hit.steps, 0)
-        segs = segs + active.astype(jnp.int32)
+        # `shade`: lanes whose segment RESOLVED this iteration — under
+        # march, mid-flight lanes must not shade, draw RNG, or count a
+        # segment. Everywhere else it is just `active`.
+        if use_march:
+            shade = seg_done
+            steps = steps + jnp.where(active, tsteps, 0)
+        else:
+            shade = active
+            steps = steps + jnp.where(active, hit.steps, 0)
+        s0_seed = seed
+        is_hit = hit.hit & shade
+        segs = segs + shade.astype(jnp.int32)
 
         if return_stats:
             it = jnp.minimum(c["iters"], MAX_IT - 1)
@@ -436,7 +506,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                 (prev_pdf > 0.0) & is_hit & (pl > 0.0),
                 (pb * pb) / jnp.maximum(pb * pb + pl * pl, 1e-20), 1.0)
             emission = emission * w_mis
-        radiance = vwhere(active, radiance + throughput * emission,
+        radiance = vwhere(shade, radiance + throughput * emission,
                           radiance)
 
         if use_nee:
@@ -529,13 +599,33 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             boost = jnp.where(do_rr, 1.0 / p, 1.0)
             new_throughput = new_throughput * boost
 
+        if use_march:
+            # Commit the RNG draws only for resolved segments: a
+            # mid-flight lane must keep its stream position so every
+            # path consumes exactly the standard integrator's sequence.
+            seed = (jnp.where(shade, seed[0], s0_seed[0]),
+                    jnp.where(shade, seed[1], s0_seed[1]))
+
         new_o = s.position + offset
         ray_o = vwhere(survive, new_o, ray_o)
         ray_d = vwhere(survive, new_dir, ray_d)
         throughput = vwhere(survive, new_throughput, throughput)
-        prev_pdf = jnp.where(survive, prev_pdf_val, -1.0)
-        bounce = bounce + active.astype(jnp.int32)
-        alive = active & survive & (bounce < config.bounces)
+        if use_march:
+            prev_pdf = jnp.where(survive, prev_pdf_val,
+                                 jnp.where(shade, -1.0, prev_pdf))
+            bounce = bounce + shade.astype(jnp.int32)
+            alive = (active & ~shade) | (survive
+                                         & (bounce < config.bounces))
+            # Reset the march for every resolved lane (new segment or
+            # retirement; spawns re-reset below).
+            b_t = jnp.where(shade, f32(_MISS_T), b_t)
+            b_e = jnp.where(shade, BIG_E, b_e)
+            m_t = jnp.where(shade, NEG_INF, m_t)
+            m_sc = jnp.where(shade, -1, m_sc)
+        else:
+            prev_pdf = jnp.where(survive, prev_pdf_val, -1.0)
+            bounce = bounce + active.astype(jnp.int32)
+            alive = active & survive & (bounce < config.bounces)
 
         # ---- retire finished paths ----
         dead_now = active & ~alive
@@ -556,7 +646,20 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         if compact_lanes:
             alive_i = alive.astype(jnp.int32)
             n_alive = jnp.sum(alive_i)
-            if sort_lanes:
+            if sort_lanes and use_march:
+                # March key: the lane's NEXT superchunk — aligns whole
+                # blocks on the kernel's unit of work. Freshly shaded
+                # survivors keep their stale rem_s (their new segment
+                # starts at the old hit — a locality proxy until the
+                # post-spawn candidate scan refreshes it next round).
+                octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
+                          + (ray_d.y > 0.0).astype(jnp.int32) * 2
+                          + (ray_d.z > 0.0).astype(jnp.int32))
+                remc = jnp.clip(rem_s, 0, nsc_total)
+                key = jnp.where(alive, remc * 8 + octant,
+                                jnp.where(dead_now, 1 << 14, 1 << 15))
+                perm = jnp.argsort(key, stable=True)
+            elif sort_lanes:
                 key = lane_sort_key(ray_o, ray_d, alive, dead_now)
                 perm = jnp.argsort(key, stable=True)
             else:
@@ -581,14 +684,18 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # stack+gather+unstack better than six separate ones. The
             # micro rates apply to standalone gathers, not this pattern.
             #
-            # ONE merged gather (round-5b): row-gather cost is per-ROW
-            # per-GATHER (~11-14 ns/row isolated, width <=128 rides the
-            # same padded tile for free — profile_r4 micro2/micro3), so
-            # the float/int/pending column groups all ride a SINGLE
-            # packed matrix. Carrier dtype is int32: f32 lanes BITCAST
+            # ONE merged gather per column GROUP (round-5b): row-gather
+            # cost is per-ROW per-GATHER (~11-14 ns/row isolated,
+            # moderate width rides the padded tile — profile_r4
+            # micro2/micro3), so the 17 float + 6 int lane columns ride
+            # a SINGLE packed matrix (demo primal 254.1 -> 240.4 ms,
+            # campaign r5j). Carrier dtype is int32: f32 lanes BITCAST
             # to i32 (exact), because ints must never transit the f32
             # datapath (TPU flushes denormals — docs/STATUS.md item 3;
-            # the int path is bit-safe for both).
+            # the int path is bit-safe for both). The NEE pendings stay
+            # a SECOND gather: one 45-col stack regressed end-to-end
+            # (NEE 521 -> 618 ms, campaign r5k) — beyond ~3 sublane
+            # tiles XLA's stack+gather fusion falls apart.
             bc = jax.lax.bitcast_convert_type
             cols = [ray_o.x, ray_o.y, ray_o.z,
                     ray_d.x, ray_d.y, ray_d.z,
@@ -599,13 +706,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             NI = len(cols)
             icols = [bc(seed[0], jnp.int32), bc(seed[1], jnp.int32),
                      pid, bounce, steps, segs]
-            if fuse_nee:
-                icols += [new_p_sh_active.astype(jnp.int32),
-                          new_p_row_active.astype(jnp.int32), c["pid"]]
-                cols += [new_p_sh_o.x, new_p_sh_o.y, new_p_sh_o.z,
-                         new_p_sh_d.x, new_p_sh_d.y, new_p_sh_d.z,
-                         new_p_sh_tmax, new_p_pend.x, new_p_pend.y,
-                         new_p_pend.z] + list(new_p_vals)  # +19 f32
+            if use_march:  # candidates recomputed post-spawn, not carried
+                cols += [m_t, b_t]
+                icols += [m_sc, b_e]
             m = jnp.stack([bc(x, jnp.int32) for x in cols] + icols,
                           axis=1)[perm]
             NC = len(cols)
@@ -620,16 +723,29 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             pid, bounce = m[:, NC + 2], m[:, NC + 3]
             steps, segs = m[:, NC + 4], m[:, NC + 5]
             alive = lane_iota < n_alive
+            if use_march:
+                m_t, b_t = fcol(NI), fcol(NI + 1)
+                m_sc, b_e = m[:, NC + 6], m[:, NC + 7]
             if fuse_nee:
-                new_p_sh_o = Vec3(fcol(NI), fcol(NI + 1), fcol(NI + 2))
-                new_p_sh_d = Vec3(fcol(NI + 3), fcol(NI + 4), fcol(NI + 5))
-                new_p_sh_tmax = fcol(NI + 6)
-                new_p_pend = Vec3(fcol(NI + 7), fcol(NI + 8), fcol(NI + 9))
-                new_p_vals = tuple(fcol(NI + 10 + k)
-                                   for k in range(OUT_COLS))
-                new_p_sh_active = m[:, NC + 6].astype(bool)
-                new_p_row_active = m[:, NC + 7].astype(bool)
-                new_p_pid = m[:, NC + 8]
+                pcols = [new_p_sh_o.x, new_p_sh_o.y, new_p_sh_o.z,
+                         new_p_sh_d.x, new_p_sh_d.y, new_p_sh_d.z,
+                         new_p_sh_tmax, new_p_pend.x, new_p_pend.y,
+                         new_p_pend.z] + list(new_p_vals)  # 19 f32
+                NP = len(pcols)
+                pm = jnp.stack(
+                    [bc(x, jnp.int32) for x in pcols]
+                    + [new_p_sh_active.astype(jnp.int32),
+                       new_p_row_active.astype(jnp.int32), c["pid"]],
+                    axis=1)[perm]
+                pfc = lambda k: bc(pm[:, k], jnp.float32)
+                new_p_sh_o = Vec3(pfc(0), pfc(1), pfc(2))
+                new_p_sh_d = Vec3(pfc(3), pfc(4), pfc(5))
+                new_p_sh_tmax = pfc(6)
+                new_p_pend = Vec3(pfc(7), pfc(8), pfc(9))
+                new_p_vals = tuple(pfc(10 + k) for k in range(OUT_COLS))
+                new_p_sh_active = pm[:, NP].astype(bool)
+                new_p_row_active = pm[:, NP + 1].astype(bool)
+                new_p_pid = pm[:, NP + 2]
         elif fuse_nee:
             new_p_pid = c["pid"]
 
@@ -640,11 +756,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # iteration (resolve_pending appends them instead).
             n_fresh = jnp.sum(dead_now.astype(jnp.int32))
             if not fuse_nee:
+                pack = (jnp.minimum(steps, (1 << 19) - 1) * 32
+                        + segs).astype(f32)
                 window = jnp.stack(
                     [radiance.x, radiance.y, radiance.z, depth1,
                      normal1.x, normal1.y, normal1.z,
-                     steps.astype(f32), segs.astype(f32),
-                     bcf(pid)], axis=0)
+                     pack, bcf(pid)], axis=0)
                 window = jnp.roll(window, -n_alive, axis=1)
                 log = jax.lax.dynamic_update_slice(log, window,
                                                    (0, retired))
@@ -684,6 +801,19 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             next_path + jnp.sum(dead.astype(jnp.int32)),
             jnp.int32(n_paths))
 
+        if use_march:
+            # Fresh spawns start a new march; then ONE candidate scan
+            # refreshes the next-two-superchunk pair for the final rays
+            # (marchers recompute to the same values), and the block
+            # queues for the next round come from the now-sorted lanes.
+            b_t = jnp.where(can, f32(_MISS_T), b_t)
+            b_e = jnp.where(can, BIG_E, b_e)
+            m_t = jnp.where(can, NEG_INF, m_t)
+            m_sc = jnp.where(can, -1, m_sc)
+            n1_e, n1_s, n2_e, n2_s = _ip.march_next_candidates(
+                m_prep, ray_o, ray_d, active, m_t, m_sc, b_t)
+            queue, q_ok = _ip.march_block_queue(n1_s, nsc_total, QL)
+
         new_c = dict(next_path=next_path, iters=c["iters"] + 1,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
@@ -693,6 +823,10 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             new_c.update(log=log, retired=retired, dstart=new_dstart)
         else:
             new_c["out"] = out
+        if use_march:
+            new_c.update(m_t=m_t, m_sc=m_sc, b_t=b_t, b_e=b_e,
+                         n1_e=n1_e, n1_s=n1_s, n2_e=n2_e, n2_s=n2_s,
+                         queue=queue, q_ok=q_ok)
         if fuse_nee:
             # The pending + deferred row survive the lane's regeneration
             # (both belong to the retired path; the lane is already
@@ -715,12 +849,13 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         # — scatter positions (2M scalar writes), transpose the column-
         # major log, and fetch rows in two <=8-wide packed gathers.
         log = final["log"]
-        pid_l = log[LOG_R - 1, :n_paths].astype(jnp.int32)
+        pid_l = log[LOG_R - 1, :n_paths].astype(jnp.int32)  # 1-D slice
         pos = jnp.zeros(n_paths, jnp.int32).at[pid_l].set(
             jnp.arange(n_paths, dtype=jnp.int32), mode="drop")
-        rows8 = log[0:8, :n_paths].T[pos]       # (n_paths, 8)
-        rows2 = log[8:LOG_R, :n_paths].T[pos]   # (n_paths, 2)
-        out = tuple(rows8[:, k] for k in range(8)) + (rows2[:, 0],)
+        rows8 = log[0:8, :n_paths].T[pos]       # (n_paths, 8) — ONE gather
+        packi = rows8[:, 7].astype(jnp.int32)
+        out = tuple(rows8[:, k] for k in range(7)) \
+            + ((packi >> 5).astype(f32), (packi & 31).astype(f32))
     else:
         out = final["out"]  # 9 x (n_paths,) pid-indexed directly
 

@@ -154,3 +154,57 @@ def test_regen_log_retirement_bit_matches_scatter(scene):
                     err_msg=f"nee={nee} sort={sort} aov={k}")
     finally:
         ip._FORCE_INTERPRET = False
+
+
+def test_regen_march_superchunk_oracle():
+    """Frontier-march traversal (round 5b): on a superchunk scene the
+    march regen frame must reproduce the standard integrator EXACTLY —
+    same per-path RNG stream (draws commit only when a segment
+    resolves), same lexicographic traversal winner (march sweeps are
+    idempotent/sound for any schedule), same retirement."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid, grid_camera
+    gscene = build_sphere_grid(n=4)
+    cam = grid_camera(40, 24, n=4)
+    ip._FORCE_INTERPRET = True
+    try:
+        cfg = RenderConfig(bounces=3, traversal=Traversal.PALLAS)
+        ref = render_radiance(gscene, cam, cfg.replace(regen=False), 3)
+        for ql in (1, 2, 4):
+            got = render_radiance(
+                gscene, cam,
+                cfg.replace(regen=True, regen_march=True,
+                            regen_march_ql=ql), 3)
+            np.testing.assert_allclose(np.asarray(got.radiance),
+                                       np.asarray(ref.radiance),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"ql={ql}")
+            np.testing.assert_array_equal(np.asarray(got.segments),
+                                          np.asarray(ref.segments))
+            np.testing.assert_allclose(np.asarray(got.depth),
+                                       np.asarray(ref.depth), rtol=1e-6)
+    finally:
+        ip._FORCE_INTERPRET = False
+
+
+def test_regen_march_matches_no_march():
+    """March vs one-shot sc traversal inside regen: bit-compatible AOVs
+    (both reduce to the same lexicographic winners + identical
+    transport arithmetic)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid, grid_camera
+    gscene = build_sphere_grid(n=4)
+    cam = grid_camera(40, 24, n=4)
+    ip._FORCE_INTERPRET = True
+    try:
+        cfg = RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                           nee=True, regen=True)
+        a = render_radiance(gscene, cam, cfg.replace(regen_march=True), 2)
+        b = render_radiance(gscene, cam, cfg.replace(regen_march=False), 2)
+        np.testing.assert_allclose(np.asarray(a.radiance),
+                                   np.asarray(b.radiance),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a.segments),
+                                      np.asarray(b.segments))
+    finally:
+        ip._FORCE_INTERPRET = False
