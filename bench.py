@@ -173,7 +173,9 @@ def main() -> None:
         import gdpathtracing_tpu.ops.intersect_pallas as _ip
         _ip.SCC = args.scc
     if args.unfused_nee:
-        import gdpathtracing_tpu.render.integrator as _integ
+        # NOTE: the `import a.b.c as x` form trips the stray 'render'
+        # namespace-package importer quirk — use from-import.
+        from gdpathtracing_tpu.render import integrator as _integ
         _integ._FORCE_UNFUSED_NEE = True
 
     if args.only is None and set(sys.argv[1:]) <= {"--verbose"}:

@@ -1183,13 +1183,17 @@ def _march_step_sc(o4t, d4t, init2, queue, sc_flat, chunk_flat, m3,
 
 
 def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
-    """The march's XLA-side candidate scan: each ray's next TWO
+    """The march's XLA-side candidate scan: each ray's next THREE
     unprocessed superchunks in (entry, scid) lexicographic near-to-far
     order, culled by the running best (entry <= b_t keeps exact-tie
     sweeps so the lexicographic winner matches the one-shot kernels).
     `(m_t, m_sc)` is the march cursor: everything lex-<= it is already
     processed. Conservative by the same slack rule as the block queues.
-    Returns (n1_e, n1_s, n2_e, n2_s); s == nsc means none."""
+    Three candidates enable the K-step advance: a lane moves through
+    EVERY carried candidate its block's queue swept this round, so
+    aligned blocks retire several superchunks per iteration instead of
+    paying a full glue iteration per superchunk. Returns
+    (n1_e, n1_s, n2_e, n2_s, n3_e, n3_s); s == nsc means none."""
     sc_b = prep.sc_flat.reshape(-1, 8).T  # (8, nsc) inflated bounds
     nsc = sc_b.shape[1]
     rdx, rdy, rdz = _rcp(d.x), _rcp(d.y), _rcp(d.z)
@@ -1197,6 +1201,7 @@ def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
     e1 = jnp.full_like(o.x, inf)
     s1 = jnp.full_like(m_sc, nsc)
     e2, s2 = e1, s1
+    e3, s3 = e1, s1
     for s in range(nsc):
         tmin, tmax = _slab(sc_b[:, s], 0, o.x, o.y, o.z, rdx, rdy, rdz)
         slack = 1e-5 * jnp.abs(tmax) + 1e-6
@@ -1208,11 +1213,16 @@ def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
         # ascending s: an exact tie keeps the earlier (smaller-s) slot
         first = key < e1
         second = ~first & (key < e2)
+        third = ~first & ~second & (key < e3)
+        e3 = jnp.where(first, e2, jnp.where(second, e2,
+                                            jnp.where(third, key, e3)))
+        s3 = jnp.where(first, s2, jnp.where(second, s2,
+                                            jnp.where(third, s, s3)))
         e2 = jnp.where(first, e1, jnp.where(second, key, e2))
         s2 = jnp.where(first, s1, jnp.where(second, s, s2))
         e1 = jnp.where(first, key, e1)
         s1 = jnp.where(first, s, s1)
-    return e1, s1, e2, s2
+    return e1, s1, e2, s2, e3, s3
 
 
 def march_block_queue(n1_s, nsc, ql):

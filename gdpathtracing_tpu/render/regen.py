@@ -215,12 +215,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         ms0 = lane0 * 0 - 1
         bt0 = zero + f32(_MISS_T)
         be0 = lane0 * 0 + BIG_E
-        n1e0, n1s0, n2e0, n2s0 = _ip.march_next_candidates(
+        n1e0, n1s0, n2e0, n2s0, n3e0, n3s0 = _ip.march_next_candidates(
             m_prep, ray0.o, ray0.d, init["active"], mt0, ms0, bt0)
-        q0, qok0 = _ip.march_block_queue(n1s0, nsc_total, QL)
+        q0, _ = _ip.march_block_queue(n1s0, nsc_total, QL)
         init.update(m_t=mt0, m_sc=ms0, b_t=bt0, b_e=be0,
                     n1_e=n1e0, n1_s=n1s0, n2_e=n2e0, n2_s=n2s0,
-                    queue=q0, q_ok=qok0)
+                    n3_e=n3e0, n3_s=n3s0, queue=q0)
 
     # Perf telemetry (return_stats): per-iteration live-lane count and
     # taken block-sweep totals from the kernel's row-46/47 counters —
@@ -451,12 +451,38 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # sweeping, preserving the lexicographic winner).
             b_t, b_e, tsteps = _ip.march_sweep(
                 scene, m_prep, r, active, c["b_t"], c["b_e"], c["queue"])
-            advanced = c["q_ok"] & active & (c["n1_s"] < nsc_total)
-            m_t = jnp.where(advanced, c["n1_e"], c["m_t"])
-            m_sc = jnp.where(advanced, c["n1_s"], c["m_sc"])
-            rem_e = jnp.where(advanced, c["n2_e"], c["n1_e"])
-            rem_s = jnp.where(advanced, c["n2_s"], c["n1_s"])
-            seg_done = active & ((rem_s >= nsc_total) | (rem_e > b_t))
+            # K-step advance: move through EVERY carried candidate the
+            # block's queue actually swept (a swept superchunk is
+            # processed for every lane of the block — idempotent/sound),
+            # so an aligned block retires up to 3 superchunks per
+            # iteration. Queue membership is a broadcast compare, not a
+            # gather.
+            qr = jnp.broadcast_to(
+                c["queue"].reshape(-1, 1, QL),
+                (nw // 256, 256, QL)).reshape(nw, QL)
+
+            def in_q(s_):
+                return jnp.any(qr == s_[:, None], axis=1)
+
+            adv1 = active & (c["n1_s"] < nsc_total) & in_q(c["n1_s"])
+            adv2 = adv1 & (c["n2_s"] < nsc_total) & in_q(c["n2_s"])
+            adv3 = adv2 & (c["n3_s"] < nsc_total) & in_q(c["n3_s"])
+            m_t = jnp.where(adv3, c["n3_e"],
+                            jnp.where(adv2, c["n2_e"],
+                                      jnp.where(adv1, c["n1_e"],
+                                                c["m_t"])))
+            m_sc = jnp.where(adv3, c["n3_s"],
+                             jnp.where(adv2, c["n2_s"],
+                                       jnp.where(adv1, c["n1_s"],
+                                                 c["m_sc"])))
+            rem_e = jnp.where(adv2, c["n3_e"],
+                              jnp.where(adv1, c["n2_e"], c["n1_e"]))
+            rem_s = jnp.where(adv2, c["n3_s"],
+                              jnp.where(adv1, c["n2_s"], c["n1_s"]))
+            # past-3-candidates lanes (adv3) can't prove completion this
+            # round — the next scan re-derives their frontier.
+            seg_done = active & ~adv3 \
+                & ((rem_s >= nsc_total) | (rem_e > b_t))
             hit = _ip.lite_epilogue(scene, m_prep, r, seg_done,
                                     b_t, b_e)
         else:
@@ -810,9 +836,10 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             b_e = jnp.where(can, BIG_E, b_e)
             m_t = jnp.where(can, NEG_INF, m_t)
             m_sc = jnp.where(can, -1, m_sc)
-            n1_e, n1_s, n2_e, n2_s = _ip.march_next_candidates(
-                m_prep, ray_o, ray_d, active, m_t, m_sc, b_t)
-            queue, q_ok = _ip.march_block_queue(n1_s, nsc_total, QL)
+            n1_e, n1_s, n2_e, n2_s, n3_e, n3_s = \
+                _ip.march_next_candidates(
+                    m_prep, ray_o, ray_d, active, m_t, m_sc, b_t)
+            queue, _ = _ip.march_block_queue(n1_s, nsc_total, QL)
 
         new_c = dict(next_path=next_path, iters=c["iters"] + 1,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
@@ -826,7 +853,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         if use_march:
             new_c.update(m_t=m_t, m_sc=m_sc, b_t=b_t, b_e=b_e,
                          n1_e=n1_e, n1_s=n1_s, n2_e=n2_e, n2_s=n2_s,
-                         queue=queue, q_ok=q_ok)
+                         n3_e=n3_e, n3_s=n3_s, queue=queue)
         if fuse_nee:
             # The pending + deferred row survive the lane's regeneration
             # (both belong to the retired path; the lane is already
