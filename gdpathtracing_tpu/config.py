@@ -232,10 +232,26 @@ class RenderConfig:
     #                           (ON where march_supported: two-level prep
     #                           with VMEM-resident m3). The flat-kernel
     #                           (small-scene) path never marches.
-    regen_march_ql: int = 4     # queue slots (distinct superchunks) per
-    #                           block per march round; lanes beyond the
-    #                           QL-th distinct superchunk wait a round.
-    #                           (grid 1080p: QL=4 beat QL=2 by 7%, r5l.)
+    regen_drain: bool | None = None  # two-phase drain (render/regen.py):
+    #                           once the path pool is exhausted and the
+    #                           live count fits, hand the sorted live
+    #                           prefix to a second while_loop at a ~3x
+    #                           smaller wavefront — the drain tail pays
+    #                           per-iteration glue (permute, scan, DUS)
+    #                           proportional to the wavefront, and the
+    #                           tail is straggler-bound (last paths need
+    #                           max-path-length more iterations). None =
+    #                           auto (on for frames with n_paths >= 2*nw,
+    #                           fused-NEE excluded).
+    regen_drain_wavefront: int | None = None  # phase-2 lane count
+    #                           (None = nw//3 rounded to 256)
+    regen_march_ql: int = 8     # queue slots (distinct superchunks) per
+    #                           block per march round, filled multi-level
+    #                           from the blocks' n1/n2/n3 run-heads so
+    #                           the K-step advance can fire; lanes beyond
+    #                           the filled slots wait a round. (grid
+    #                           1080p: QL=4 beat QL=2 by 7% pre-K-step,
+    #                           r5l.)
     temporal_blend: float = 0.75   # temporal_reprojection.glsl:64
     temporal_depth_eps: float = 0.1  # history-reject threshold (glsl:59)
     denoising: DenoisingMode = DenoisingMode.PROGRESSIVE

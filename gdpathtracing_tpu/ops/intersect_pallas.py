@@ -1225,28 +1225,48 @@ def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
     return e1, s1, e2, s2, e3, s3
 
 
-def march_block_queue(n1_s, nsc, ql):
-    """Per-block superchunk queue from the (sorted) next-sc lane column:
-    the first <=ql DISTINCT wanted superchunks of each 256-lane block
-    (runs of equal keys share a slot; out-of-order duplicates just waste
-    one — correct either way since sweeps are idempotent). Returns
-    (queue (n_blocks*ql,) i32 with `nsc`-sentinel padding, q_ok (n,)
-    bool — whether each lane's n1 made it into its block's queue, i.e.
-    whether its sweep happens next round)."""
+def march_block_queue(n1_s, nsc, ql, n2_s=None, n3_s=None):
+    """Per-block superchunk queue from the (sorted) next-sc lane
+    columns: the first <=ql DISTINCT wanted superchunks of each
+    256-lane block, filled MULTI-LEVEL — every block's n1 run-heads
+    first, then its n2 run-heads, then n3 (runs of equal keys share a
+    slot; out-of-order or cross-level duplicates just waste one —
+    correct either way since sweeps are idempotent). The n2/n3 levels
+    are what make the K-step advance fire: an aligned block (all lanes
+    n1 == X) would otherwise carry [X, sentinels...] and no lane could
+    ever advance past its first candidate in one round. Returns
+    (queue (n_blocks*ql,) i32 with `nsc`-sentinel padding, q_ok —
+    legacy single-level membership, kept for tests)."""
     nb = n1_s.shape[0] // BN
-    k = n1_s.reshape(nb, BN)
-    head = jnp.concatenate(
-        [jnp.ones((nb, 1), bool), k[:, 1:] != k[:, :-1]], axis=1)
-    valid = head & (k < nsc)
-    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
-    q_ok = (rank >= 0) & (rank < ql) & (k < nsc)
-    idx = jnp.where(valid & (rank < ql),
-                    jnp.arange(nb, dtype=jnp.int32)[:, None] * ql + rank,
-                    nb * ql)
-    # base derives from k so the loop carry keeps shard_map vma typing
+    iota_b = jnp.arange(nb, dtype=jnp.int32)[:, None]
+
+    def run_heads(col):
+        k = col.reshape(nb, BN)
+        head = jnp.concatenate(
+            [jnp.ones((nb, 1), bool), k[:, 1:] != k[:, :-1]], axis=1)
+        valid = head & (k < nsc)
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        return k, valid, rank, valid.astype(jnp.int32).sum(axis=1)
+
+    k1, v1, r1, c1 = run_heads(n1_s)
+    # base derives from k1 so the loop carry keeps shard_map vma typing
     # (CLAUDE.md: the `x * 0 + const` pattern)
-    base = k[:, :ql].reshape(-1) * 0 + nsc
-    queue = base.at[idx.reshape(-1)].set(k.reshape(-1), mode="drop")
+    queue = k1[:, :ql].reshape(-1) * 0 + nsc
+
+    def fill(queue, k, valid, slot):
+        idx = jnp.where(valid & (slot < ql), iota_b * ql + slot, nb * ql)
+        return queue.at[idx.reshape(-1)].set(k.reshape(-1), mode="drop")
+
+    queue = fill(queue, k1, v1, r1)
+    off = c1[:, None]
+    if n2_s is not None:
+        k2, v2, r2, c2 = run_heads(n2_s)
+        queue = fill(queue, k2, v2, off + r2)
+        off = off + c2[:, None]
+    if n3_s is not None:
+        k3, v3, r3, _ = run_heads(n3_s)
+        queue = fill(queue, k3, v3, off + r3)
+    q_ok = (r1 >= 0) & (r1 < ql) & (k1 < nsc)
     return queue, q_ok.reshape(-1)
 
 

@@ -194,6 +194,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
     init = dict(
         next_path=jnp.int32(min(nw, n_paths)),
+        nact=jnp.int32(min(nw, n_paths)),
         iters=jnp.int32(0),
         ray_o=ray0.o, ray_d=ray0.d, seed=seed0,
         tp=one3, rad=zero3,
@@ -217,7 +218,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         be0 = lane0 * 0 + BIG_E
         n1e0, n1s0, n2e0, n2s0, n3e0, n3s0 = _ip.march_next_candidates(
             m_prep, ray0.o, ray0.d, init["active"], mt0, ms0, bt0)
-        q0, _ = _ip.march_block_queue(n1s0, nsc_total, QL)
+        q0, _ = _ip.march_block_queue(n1s0, nsc_total, QL, n2s0, n3s0)
         init.update(m_t=mt0, m_sc=ms0, b_t=bt0, b_e=be0,
                     n1_e=n1e0, n1_s=n1s0, n2_e=n2e0, n2_s=n2s0,
                     n3_e=n3e0, n3_s=n3s0, queue=q0)
@@ -355,6 +356,28 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                 | jnp.any(c["p_row_active"])
         return more
 
+    # Two-phase drain (round 5b): the tail of the frame is straggler-
+    # bound — the last-spawned paths need ~max-path-length more
+    # iterations while occupancy decays (the grid march telemetry showed
+    # ~100 of 160 iterations in drain) — but per-iteration glue scales
+    # with the WAVEFRONT, not the live count. Once the pool is exhausted
+    # and the live lanes fit, hand the sorted live prefix to a second
+    # while_loop at a smaller static wavefront.
+    drain_nw = 0
+    if (compact_lanes and not fuse_nee and not dbg["fixed_iters"]
+            and config.regen_drain is not False):
+        dn = config.regen_drain_wavefront
+        if dn is None:
+            dn = max(256, (nw // 3) // 256 * 256)
+        enable = dn < nw and (config.regen_drain is True
+                              or n_paths >= 2 * nw)
+        drain_nw = dn if enable else 0
+
+    def cond_main(c):
+        if not drain_nw:
+            return cond(c)
+        return (c["next_path"] < n_paths) | (c["nact"] > drain_nw)
+
     lane_iota = jnp.arange(nw, dtype=jnp.int32)
 
     def retire(out, mask, pids, vals):
@@ -366,6 +389,11 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                      for o, v in zip(out, vals))
 
     def body(c):
+        # Shape-generic over the lane count: the two-phase drain runs
+        # this same body at a smaller wavefront (traced separately per
+        # while_loop, so both specializations are static).
+        nw_l = c["pid"].shape[0]
+        lane_iota = jnp.arange(nw_l, dtype=jnp.int32)
         ray_o, ray_d = c["ray_o"], c["ray_d"]
         throughput, radiance = c["tp"], c["rad"]
         active, seed = c["active"], c["seed"]
@@ -428,7 +456,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
 
         if dbg["skip_trace"]:  # timing decomposition only — wrong results
             from gdpathtracing_tpu.render.types import HitInfo, MISS_T
-            zr = jnp.zeros((48, nw), f32) + ray_o.x[None, :] * 1e-30
+            zr = jnp.zeros((48, nw_l), f32) + ray_o.x[None, :] * 1e-30
             zi = (ray_o.x * 0).astype(jnp.int32)
             hit = HitInfo(t=zr[40] + MISS_T, tri=zi, inst=zi, u=zr[41],
                           v=zr[42], front=zi.astype(bool), steps=zi,
@@ -459,7 +487,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # gather.
             qr = jnp.broadcast_to(
                 c["queue"].reshape(-1, 1, QL),
-                (nw // 256, 256, QL)).reshape(nw, QL)
+                (nw_l // 256, 256, QL)).reshape(nw_l, QL)
 
             def in_q(s_):
                 return jnp.any(qr == s_[:, None], axis=1)
@@ -681,9 +709,19 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                 octant = ((ray_d.x > 0.0).astype(jnp.int32) * 4
                           + (ray_d.y > 0.0).astype(jnp.int32) * 2
                           + (ray_d.z > 0.0).astype(jnp.int32))
+                # Two-level key (next sc, next-next sc): blocks align on
+                # BOTH, so the multi-level queue's n2 slots serve whole
+                # runs and the K-step advance actually fires. The second
+                # level is approximate for multi-advanced lanes (their
+                # deeper frontier is unknown until the next scan).
                 remc = jnp.clip(rem_s, 0, nsc_total)
-                key = jnp.where(alive, remc * 8 + octant,
-                                jnp.where(dead_now, 1 << 14, 1 << 15))
+                rem2 = jnp.where(adv1, c["n3_s"], c["n2_s"])
+                rem2 = jnp.where(adv2, rem_s, rem2)
+                rem2c = jnp.clip(rem2, 0, nsc_total)
+                key = jnp.where(
+                    alive,
+                    (remc * (nsc_total + 1) + rem2c) * 8 + octant,
+                    jnp.where(dead_now, 1 << 22, 1 << 23))
                 perm = jnp.argsort(key, stable=True)
             elif sort_lanes:
                 key = lane_sort_key(ray_o, ray_d, alive, dead_now)
@@ -702,7 +740,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                     alive, ra,
                     jnp.where(dead_now, n_alive + rf,
                               n_alive + n_fresh_p + rs)) - 1
-                perm = jnp.zeros(nw, jnp.int32).at[dest].set(lane_iota)
+                perm = jnp.zeros(nw_l, jnp.int32).at[dest].set(lane_iota)
             # NOTE (round 5): splitting these stacked gathers into
             # <=8-wide groups per the core/gather.py micro law REGRESSED
             # end-to-end (primal 269 -> 287 ms, NEE 565 -> 630 —
@@ -813,9 +851,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         ray_d = vwhere(can, ray_new.d, ray_d)
         seed = (jnp.where(can, seed_new[0], seed[0]),
                 jnp.where(can, seed_new[1], seed[1]))
-        throughput = vwhere(can, one3, throughput)
-        radiance = vwhere(can, zero3, radiance)
-        normal1 = vwhere(can, zero3, normal1)
+        zl = ray_o.x * 0.0  # shape-local (drain phase runs a smaller nw)
+        zl3 = Vec3(zl, zl, zl)
+        throughput = vwhere(can, Vec3(zl + 1.0, zl + 1.0, zl + 1.0),
+                            throughput)
+        radiance = vwhere(can, zl3, radiance)
+        normal1 = vwhere(can, zl3, normal1)
         depth1 = jnp.where(can, f32(camera.far), depth1)
         prev_pdf = jnp.where(can, -1.0, prev_pdf)
         bounce = jnp.where(can, 0, bounce)
@@ -839,9 +880,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             n1_e, n1_s, n2_e, n2_s, n3_e, n3_s = \
                 _ip.march_next_candidates(
                     m_prep, ray_o, ray_d, active, m_t, m_sc, b_t)
-            queue, _ = _ip.march_block_queue(n1_s, nsc_total, QL)
+            queue, _ = _ip.march_block_queue(n1_s, nsc_total, QL,
+                                             n2_s, n3_s)
 
-        new_c = dict(next_path=next_path, iters=c["iters"] + 1,
+        new_c = dict(next_path=next_path,
+                     nact=jnp.sum(active.astype(jnp.int32)),
+                     iters=c["iters"] + 1,
                      ray_o=ray_o, ray_d=ray_d, seed=seed, tp=throughput,
                      rad=radiance, pid=pid, bounce=bounce, active=active,
                      prev_pdf=prev_pdf, depth1=depth1, normal1=normal1,
@@ -869,7 +913,22 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         final, _ = jax.lax.scan(lambda c, _: (body(c), None), init,
                                 None, length=dbg["fixed_iters"])
     else:
-        final = jax.lax.while_loop(cond, body, init)
+        final = jax.lax.while_loop(cond_main, body, init)
+        if drain_nw:
+            per_lane = ["ray_o", "ray_d", "seed", "tp", "rad", "pid",
+                        "bounce", "active", "prev_pdf", "depth1",
+                        "normal1", "steps", "segs"]
+            if use_march:
+                per_lane += ["m_t", "m_sc", "b_t", "b_e", "n1_e",
+                             "n1_s", "n2_e", "n2_s", "n3_e", "n3_s"]
+            init2 = dict(final)
+            for k in per_lane:
+                init2[k] = jax.tree.map(lambda a: a[:drain_nw], final[k])
+            if use_march:
+                init2["queue"], _ = _ip.march_block_queue(
+                    init2["n1_s"], nsc_total, QL,
+                    init2["n2_s"], init2["n3_s"])
+            final = jax.lax.while_loop(cond, body, init2)
     if use_log:
         # One-shot pid-indexing of the retirement log: every path
         # retired exactly once, so log[:, :n_paths] holds each pid once

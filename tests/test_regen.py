@@ -208,3 +208,45 @@ def test_regen_march_matches_no_march():
                                       np.asarray(b.segments))
     finally:
         ip._FORCE_INTERPRET = False
+
+
+def test_regen_two_phase_drain(scene):
+    """Two-phase drain (round 5b): handing the sorted live prefix to a
+    smaller second while_loop must not change any AOV (same bodies,
+    same RNG streams, only the lane-buffer size differs)."""
+    cam = demo_camera(W, H)
+    for nee in (False, True):
+        # BRUTE path (fuse off) so the drain gate engages with nee too
+        cfg = RenderConfig(bounces=3, traversal=Traversal.BRUTE, nee=nee,
+                           regen=True, regen_wavefront=512)
+        a = render_radiance(scene, cam,
+                            cfg.replace(regen_drain=True,
+                                        regen_drain_wavefront=256), 3)
+        b = render_radiance(scene, cam, cfg.replace(regen_drain=False), 3)
+        for k in ("radiance", "depth", "segments", "steps", "normal"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, k)), np.asarray(getattr(b, k)),
+                err_msg=f"nee={nee} aov={k}")
+
+
+def test_regen_two_phase_drain_march():
+    """Drain + march together (the grid configuration)."""
+    import gdpathtracing_tpu.ops.intersect_pallas as ip
+    from gdpathtracing_tpu.scene.demo import build_sphere_grid, grid_camera
+    gscene = build_sphere_grid(n=4)
+    cam = grid_camera(40, 24, n=4)
+    ip._FORCE_INTERPRET = True
+    try:
+        cfg = RenderConfig(bounces=3, traversal=Traversal.PALLAS,
+                           regen=True, regen_march=True,
+                           regen_wavefront=512)
+        a = render_radiance(gscene, cam,
+                            cfg.replace(regen_drain=True,
+                                        regen_drain_wavefront=256), 2)
+        b = render_radiance(gscene, cam, cfg.replace(regen_drain=False), 2)
+        for k in ("radiance", "depth", "segments"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, k)), np.asarray(getattr(b, k)),
+                err_msg=f"aov={k}")
+    finally:
+        ip._FORCE_INTERPRET = False
