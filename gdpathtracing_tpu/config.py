@@ -232,6 +232,17 @@ class RenderConfig:
     #                           (ON where march_supported: two-level prep
     #                           with VMEM-resident m3). The flat-kernel
     #                           (small-scene) path never marches.
+    regen_fuse_nee: bool = False  # regen NEE: ride bounce i's shadow
+    #                           query on bounce i+1's fused kernel
+    #                           (phase B) instead of a separate
+    #                           occlusion dispatch per iteration. The
+    #                           separate dispatch measured FASTER
+    #                           in-graph (455.6 vs 498.7 ms demo NEE,
+    #                           campaign r5m): fusion doubles the
+    #                           permuted pending state and defers
+    #                           retirement, while the in-graph dispatch
+    #                           overhead the fusion was built to avoid
+    #                           (round-3 host loops) no longer exists.
     regen_drain: bool | None = None  # two-phase drain (render/regen.py):
     #                           once the path pool is exhausted and the
     #                           live count fits, hand the sorted live
@@ -245,6 +256,11 @@ class RenderConfig:
     #                           fused-NEE excluded).
     regen_drain_wavefront: int | None = None  # phase-2 lane count
     #                           (None = nw//3 rounded to 256)
+    regen_march_k: int = 6      # carried march candidates per lane: a
+    #                           lane advances through up to K of its
+    #                           next superchunks per iteration when its
+    #                           block's queue swept them — amortizes the
+    #                           per-iteration glue over K sc of progress.
     regen_march_ql: int = 8     # queue slots (distinct superchunks) per
     #                           block per march round, filled multi-level
     #                           from the blocks' n1/n2/n3 run-heads so

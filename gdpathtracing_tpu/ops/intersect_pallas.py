@@ -1182,26 +1182,25 @@ def _march_step_sc(o4t, d4t, init2, queue, sc_flat, chunk_flat, m3,
     return out
 
 
-def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
-    """The march's XLA-side candidate scan: each ray's next THREE
+def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t,
+                          k: int = 3):
+    """The march's XLA-side candidate scan: each ray's next K
     unprocessed superchunks in (entry, scid) lexicographic near-to-far
     order, culled by the running best (entry <= b_t keeps exact-tie
     sweeps so the lexicographic winner matches the one-shot kernels).
     `(m_t, m_sc)` is the march cursor: everything lex-<= it is already
     processed. Conservative by the same slack rule as the block queues.
-    Three candidates enable the K-step advance: a lane moves through
-    EVERY carried candidate its block's queue swept this round, so
-    aligned blocks retire several superchunks per iteration instead of
-    paying a full glue iteration per superchunk. Returns
-    (n1_e, n1_s, n2_e, n2_s, n3_e, n3_s); s == nsc means none."""
+    K candidates enable the K-step advance: a lane moves through EVERY
+    carried candidate its block's queue swept this round, so aligned
+    blocks retire several superchunks per iteration instead of paying a
+    full glue iteration per superchunk. Returns (es, ss): two K-lists
+    of (n,) arrays in near-to-far order; s == nsc means none."""
     sc_b = prep.sc_flat.reshape(-1, 8).T  # (8, nsc) inflated bounds
     nsc = sc_b.shape[1]
     rdx, rdy, rdz = _rcp(d.x), _rcp(d.y), _rcp(d.z)
     inf = jnp.float32(jnp.inf)
-    e1 = jnp.full_like(o.x, inf)
-    s1 = jnp.full_like(m_sc, nsc)
-    e2, s2 = e1, s1
-    e3, s3 = e1, s1
+    es = [jnp.full_like(o.x, inf) for _ in range(k)]
+    ss = [jnp.full_like(m_sc, nsc) for _ in range(k)]
     for s in range(nsc):
         tmin, tmax = _slab(sc_b[:, s], 0, o.x, o.y, o.z, rdx, rdy, rdz)
         slack = 1e-5 * jnp.abs(tmax) + 1e-6
@@ -1210,34 +1209,34 @@ def march_next_candidates(prep: "_TracePrep", o, d, alive, m_t, m_sc, b_t):
             & (entry <= b_t) \
             & ((entry > m_t) | ((entry == m_t) & (s > m_sc)))
         key = jnp.where(ok, entry, inf)
-        # ascending s: an exact tie keeps the earlier (smaller-s) slot
-        first = key < e1
-        second = ~first & (key < e2)
-        third = ~first & ~second & (key < e3)
-        e3 = jnp.where(first, e2, jnp.where(second, e2,
-                                            jnp.where(third, key, e3)))
-        s3 = jnp.where(first, s2, jnp.where(second, s2,
-                                            jnp.where(third, s, s3)))
-        e2 = jnp.where(first, e1, jnp.where(second, key, e2))
-        s2 = jnp.where(first, s1, jnp.where(second, s, s2))
-        e1 = jnp.where(first, key, e1)
-        s1 = jnp.where(first, s, s1)
-    return e1, s1, e2, s2, e3, s3
+        # K-best insertion; ascending s keeps the earlier slot on ties.
+        # es is sorted ascending, so (key < es[i]) is monotone in i —
+        # shift everything at/after the insertion slot down one.
+        better = [key < e for e in es]
+        for i in range(k - 1, 0, -1):
+            es[i] = jnp.where(better[i - 1], es[i - 1],
+                              jnp.where(better[i], key, es[i]))
+            ss[i] = jnp.where(better[i - 1], ss[i - 1],
+                              jnp.where(better[i], s, ss[i]))
+        es[0] = jnp.where(better[0], key, es[0])
+        ss[0] = jnp.where(better[0], s, ss[0])
+    return es, ss
 
 
-def march_block_queue(n1_s, nsc, ql, n2_s=None, n3_s=None):
+def march_block_queue(ns_cols, nsc, ql):
     """Per-block superchunk queue from the (sorted) next-sc lane
     columns: the first <=ql DISTINCT wanted superchunks of each
     256-lane block, filled MULTI-LEVEL — every block's n1 run-heads
-    first, then its n2 run-heads, then n3 (runs of equal keys share a
-    slot; out-of-order or cross-level duplicates just waste one —
-    correct either way since sweeps are idempotent). The n2/n3 levels
+    first, then its n2 run-heads, then n3... (runs of equal keys share
+    a slot; out-of-order or cross-level duplicates just waste one —
+    correct either way since sweeps are idempotent). The deeper levels
     are what make the K-step advance fire: an aligned block (all lanes
     n1 == X) would otherwise carry [X, sentinels...] and no lane could
-    ever advance past its first candidate in one round. Returns
+    ever advance past its first candidate in one round. `ns_cols` is a
+    list of (n,) i32 columns in near-to-far order. Returns
     (queue (n_blocks*ql,) i32 with `nsc`-sentinel padding, q_ok —
-    legacy single-level membership, kept for tests)."""
-    nb = n1_s.shape[0] // BN
+    level-0 membership, kept for tests)."""
+    nb = ns_cols[0].shape[0] // BN
     iota_b = jnp.arange(nb, dtype=jnp.int32)[:, None]
 
     def run_heads(col):
@@ -1248,24 +1247,20 @@ def march_block_queue(n1_s, nsc, ql, n2_s=None, n3_s=None):
         rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
         return k, valid, rank, valid.astype(jnp.int32).sum(axis=1)
 
-    k1, v1, r1, c1 = run_heads(n1_s)
-    # base derives from k1 so the loop carry keeps shard_map vma typing
-    # (CLAUDE.md: the `x * 0 + const` pattern)
-    queue = k1[:, :ql].reshape(-1) * 0 + nsc
-
     def fill(queue, k, valid, slot):
         idx = jnp.where(valid & (slot < ql), iota_b * ql + slot, nb * ql)
         return queue.at[idx.reshape(-1)].set(k.reshape(-1), mode="drop")
 
+    k1, v1, r1, c1 = run_heads(ns_cols[0])
+    # base derives from k1 so the loop carry keeps shard_map vma typing
+    # (CLAUDE.md: the `x * 0 + const` pattern)
+    queue = k1[:, :ql].reshape(-1) * 0 + nsc
     queue = fill(queue, k1, v1, r1)
     off = c1[:, None]
-    if n2_s is not None:
-        k2, v2, r2, c2 = run_heads(n2_s)
-        queue = fill(queue, k2, v2, off + r2)
-        off = off + c2[:, None]
-    if n3_s is not None:
-        k3, v3, r3, _ = run_heads(n3_s)
-        queue = fill(queue, k3, v3, off + r3)
+    for col in ns_cols[1:]:
+        kk, vv, rr, cc = run_heads(col)
+        queue = fill(queue, kk, vv, off + rr)
+        off = off + cc[:, None]
     q_ok = (r1 >= 0) & (r1 < ql) & (k1 < nsc)
     return queue, q_ok.reshape(-1)
 

@@ -120,8 +120,16 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     # as integrator.py's fused path); otherwise it scatter-adds straight
     # into the finished path's output pixel (its final radiance term, the
     # analog of the standard path's post-loop flush).
+    # Round-5b measurement: in-graph the separate occlusion dispatch is
+    # CHEAPER than the fused phase-B design end-to-end (455.6 vs
+    # 498.7 ms demo NEE, campaign r5m) — the fusion's motivation was
+    # round-3 host-loop dispatch overhead, while its pendings double the
+    # permuted state and defer retirement. Default is therefore
+    # UNFUSED; the fused path stays available (regen_fuse_nee=True) and
+    # bit-tested.
     from gdpathtracing_tpu.render.integrator import _FORCE_UNFUSED_NEE
     fuse_nee = (use_nee and config.traversal == Traversal.PALLAS
+                and bool(config.regen_fuse_nee)
                 and not _FORCE_UNFUSED_NEE)
     if fuse_nee:
         from gdpathtracing_tpu.ops.intersect_pallas import (
@@ -146,6 +154,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     if use_march:
         from gdpathtracing_tpu.render.types import MISS_T as _MISS_T
         QL = int(config.regen_march_ql)
+        MK = int(config.regen_march_k)
         nsc_total = m_prep.sc_flat.shape[0] // 8
         BIG_E = jnp.int32((1 << 24) - 1)  # "no winner" eidx: exact in
         #                                   f32 and > any real eidx
@@ -216,12 +225,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         ms0 = lane0 * 0 - 1
         bt0 = zero + f32(_MISS_T)
         be0 = lane0 * 0 + BIG_E
-        n1e0, n1s0, n2e0, n2s0, n3e0, n3s0 = _ip.march_next_candidates(
-            m_prep, ray0.o, ray0.d, init["active"], mt0, ms0, bt0)
-        q0, _ = _ip.march_block_queue(n1s0, nsc_total, QL, n2s0, n3s0)
-        init.update(m_t=mt0, m_sc=ms0, b_t=bt0, b_e=be0,
-                    n1_e=n1e0, n1_s=n1s0, n2_e=n2e0, n2_s=n2s0,
-                    n3_e=n3e0, n3_s=n3s0, queue=q0)
+        es0, ss0 = _ip.march_next_candidates(
+            m_prep, ray0.o, ray0.d, init["active"], mt0, ms0, bt0, k=MK)
+        q0, _ = _ip.march_block_queue(ss0, nsc_total, QL)
+        init.update(m_t=mt0, m_sc=ms0, b_t=bt0, b_e=be0, queue=q0,
+                    **{f"nc_e{i}": es0[i] for i in range(MK)},
+                    **{f"nc_s{i}": ss0[i] for i in range(MK)})
 
     # Perf telemetry (return_stats): per-iteration live-lane count and
     # taken block-sweep totals from the kernel's row-46/47 counters —
@@ -363,7 +372,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
     # with the WAVEFRONT, not the live count. Once the pool is exhausted
     # and the live lanes fit, hand the sorted live prefix to a second
     # while_loop at a smaller static wavefront.
-    drain_nw = 0
+    drain_sizes = []
     if (compact_lanes and not fuse_nee and not dbg["fixed_iters"]
             and config.regen_drain is not False):
         dn = config.regen_drain_wavefront
@@ -371,12 +380,22 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             dn = max(256, (nw // 3) // 256 * 256)
         enable = dn < nw and (config.regen_drain is True
                               or n_paths >= 2 * nw)
-        drain_nw = dn if enable else 0
+        if enable:
+            drain_sizes = [dn]
+            if use_march:
+                # march drains are LONG (straggler paths pay several
+                # iterations per segment) — add a second, deeper stage
+                dn2 = max(256, (dn // 4) // 256 * 256)
+                if dn2 < dn:
+                    drain_sizes.append(dn2)
 
-    def cond_main(c):
-        if not drain_nw:
-            return cond(c)
-        return (c["next_path"] < n_paths) | (c["nact"] > drain_nw)
+    def cond_for(threshold):
+        if threshold is None:
+            return cond
+
+        def cond_t(c):
+            return (c["next_path"] < n_paths) | (c["nact"] > threshold)
+        return cond_t
 
     lane_iota = jnp.arange(nw, dtype=jnp.int32)
 
@@ -482,7 +501,7 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             # K-step advance: move through EVERY carried candidate the
             # block's queue actually swept (a swept superchunk is
             # processed for every lane of the block — idempotent/sound),
-            # so an aligned block retires up to 3 superchunks per
+            # so an aligned block retires up to MK superchunks per
             # iteration. Queue membership is a broadcast compare, not a
             # gather.
             qr = jnp.broadcast_to(
@@ -492,24 +511,24 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             def in_q(s_):
                 return jnp.any(qr == s_[:, None], axis=1)
 
-            adv1 = active & (c["n1_s"] < nsc_total) & in_q(c["n1_s"])
-            adv2 = adv1 & (c["n2_s"] < nsc_total) & in_q(c["n2_s"])
-            adv3 = adv2 & (c["n3_s"] < nsc_total) & in_q(c["n3_s"])
-            m_t = jnp.where(adv3, c["n3_e"],
-                            jnp.where(adv2, c["n2_e"],
-                                      jnp.where(adv1, c["n1_e"],
-                                                c["m_t"])))
-            m_sc = jnp.where(adv3, c["n3_s"],
-                             jnp.where(adv2, c["n2_s"],
-                                       jnp.where(adv1, c["n1_s"],
-                                                 c["m_sc"])))
-            rem_e = jnp.where(adv2, c["n3_e"],
-                              jnp.where(adv1, c["n2_e"], c["n1_e"]))
-            rem_s = jnp.where(adv2, c["n3_s"],
-                              jnp.where(adv1, c["n2_s"], c["n1_s"]))
-            # past-3-candidates lanes (adv3) can't prove completion this
-            # round — the next scan re-derives their frontier.
-            seg_done = active & ~adv3 \
+            ces = [c[f"nc_e{i}"] for i in range(MK)]
+            css = [c[f"nc_s{i}"] for i in range(MK)]
+            advs = []
+            prev = active
+            for i in range(MK):
+                prev = prev & (css[i] < nsc_total) & in_q(css[i])
+                advs.append(prev)
+            m_t, m_sc = c["m_t"], c["m_sc"]
+            for i in range(MK):
+                m_t = jnp.where(advs[i], ces[i], m_t)
+                m_sc = jnp.where(advs[i], css[i], m_sc)
+            rem_e, rem_s = ces[0], css[0]
+            for i in range(MK - 1):
+                rem_e = jnp.where(advs[i], ces[i + 1], rem_e)
+                rem_s = jnp.where(advs[i], css[i + 1], rem_s)
+            # fully-advanced lanes can't prove completion this round —
+            # the next scan re-derives their frontier.
+            seg_done = active & ~advs[MK - 1] \
                 & ((rem_s >= nsc_total) | (rem_e > b_t))
             hit = _ip.lite_epilogue(scene, m_prep, r, seg_done,
                                     b_t, b_e)
@@ -715,8 +734,11 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                 # level is approximate for multi-advanced lanes (their
                 # deeper frontier is unknown until the next scan).
                 remc = jnp.clip(rem_s, 0, nsc_total)
-                rem2 = jnp.where(adv1, c["n3_s"], c["n2_s"])
-                rem2 = jnp.where(adv2, rem_s, rem2)
+                rem2 = css[1] if MK > 1 else css[0]
+                for i in range(MK - 2):
+                    rem2 = jnp.where(advs[i], css[i + 2], rem2)
+                if MK > 1:
+                    rem2 = jnp.where(advs[MK - 2], rem_s, rem2)
                 rem2c = jnp.clip(rem2, 0, nsc_total)
                 key = jnp.where(
                     alive,
@@ -877,11 +899,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             b_e = jnp.where(can, BIG_E, b_e)
             m_t = jnp.where(can, NEG_INF, m_t)
             m_sc = jnp.where(can, -1, m_sc)
-            n1_e, n1_s, n2_e, n2_s, n3_e, n3_s = \
-                _ip.march_next_candidates(
-                    m_prep, ray_o, ray_d, active, m_t, m_sc, b_t)
-            queue, _ = _ip.march_block_queue(n1_s, nsc_total, QL,
-                                             n2_s, n3_s)
+            es_n, ss_n = _ip.march_next_candidates(
+                m_prep, ray_o, ray_d, active, m_t, m_sc, b_t, k=MK)
+            queue, _ = _ip.march_block_queue(ss_n, nsc_total, QL)
 
         new_c = dict(next_path=next_path,
                      nact=jnp.sum(active.astype(jnp.int32)),
@@ -896,8 +916,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             new_c["out"] = out
         if use_march:
             new_c.update(m_t=m_t, m_sc=m_sc, b_t=b_t, b_e=b_e,
-                         n1_e=n1_e, n1_s=n1_s, n2_e=n2_e, n2_s=n2_s,
-                         n3_e=n3_e, n3_s=n3_s, queue=queue)
+                         queue=queue,
+                         **{f"nc_e{i}": es_n[i] for i in range(MK)},
+                         **{f"nc_s{i}": ss_n[i] for i in range(MK)})
         if fuse_nee:
             # The pending + deferred row survive the lane's regeneration
             # (both belong to the retired path; the lane is already
@@ -913,22 +934,26 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         final, _ = jax.lax.scan(lambda c, _: (body(c), None), init,
                                 None, length=dbg["fixed_iters"])
     else:
-        final = jax.lax.while_loop(cond_main, body, init)
-        if drain_nw:
-            per_lane = ["ray_o", "ray_d", "seed", "tp", "rad", "pid",
-                        "bounce", "active", "prev_pdf", "depth1",
-                        "normal1", "steps", "segs"]
-            if use_march:
-                per_lane += ["m_t", "m_sc", "b_t", "b_e", "n1_e",
-                             "n1_s", "n2_e", "n2_s", "n3_e", "n3_s"]
+        per_lane = ["ray_o", "ray_d", "seed", "tp", "rad", "pid",
+                    "bounce", "active", "prev_pdf", "depth1",
+                    "normal1", "steps", "segs"]
+        if use_march:
+            per_lane += ["m_t", "m_sc", "b_t", "b_e"]
+            per_lane += [f"nc_e{i}" for i in range(MK)]
+            per_lane += [f"nc_s{i}" for i in range(MK)]
+        final = jax.lax.while_loop(
+            cond_for(drain_sizes[0] if drain_sizes else None), body, init)
+        for j, dnw in enumerate(drain_sizes):
+            nxt = drain_sizes[j + 1] if j + 1 < len(drain_sizes) else None
             init2 = dict(final)
             for k in per_lane:
-                init2[k] = jax.tree.map(lambda a: a[:drain_nw], final[k])
+                init2[k] = jax.tree.map(
+                    lambda a, d=dnw: a[:d], final[k])
             if use_march:
                 init2["queue"], _ = _ip.march_block_queue(
-                    init2["n1_s"], nsc_total, QL,
-                    init2["n2_s"], init2["n3_s"])
-            final = jax.lax.while_loop(cond, body, init2)
+                    [init2[f"nc_s{i}"] for i in range(MK)],
+                    nsc_total, QL)
+            final = jax.lax.while_loop(cond_for(nxt), body, init2)
     if use_log:
         # One-shot pid-indexing of the retirement log: every path
         # retired exactly once, so log[:, :n_paths] holds each pid once

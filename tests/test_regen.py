@@ -82,7 +82,8 @@ def test_regen_nee_fused_pallas(scene):
     ip._FORCE_INTERPRET = True
     try:
         _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
-                                     nee=True, tile_rays=1024, regen_wavefront=1024))
+                                     nee=True, regen_fuse_nee=True,
+                                     tile_rays=1024, regen_wavefront=1024))
     finally:
         ip._FORCE_INTERPRET = False
 
@@ -100,6 +101,7 @@ def test_regen_nee_fused_no_compaction(scene):
     try:
         _compare(scene, RenderConfig(bounces=3, traversal=Traversal.PALLAS,
                                      nee=True, compact_rays=False,
+                                     regen_fuse_nee=True,
                                      tile_rays=1024, regen_wavefront=1024))
     finally:
         ip._FORCE_INTERPRET = False
