@@ -382,12 +382,12 @@ def render_radiance_regen(scene: Scene, camera: Camera,
                               or n_paths >= 2 * nw)
         if enable:
             drain_sizes = [dn]
-            if use_march:
-                # march drains are LONG (straggler paths pay several
-                # iterations per segment) — add a second, deeper stage
-                dn2 = max(256, (dn // 4) // 256 * 256)
-                if dn2 < dn:
-                    drain_sizes.append(dn2)
+            # second, deeper stage: the late tail is straggler-bound
+            # (last paths need ~max-path-length more iterations) and
+            # glue scales with the static wavefront
+            dn2 = max(256, (dn // 4) // 256 * 256)
+            if dn2 < dn:
+                drain_sizes.append(dn2)
 
     def cond_for(threshold):
         if threshold is None:
