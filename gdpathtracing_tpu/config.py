@@ -225,13 +225,18 @@ class RenderConfig:
     regen_march: bool | None = None  # frontier-march traversal for
     #                           superchunk scenes (render/regen.py +
     #                           ops/intersect_pallas.py march_*): rays
-    #                           advance at most one superchunk per regen
+    #                           advance through up to regen_march_k of
+    #                           their next superchunks per regen
     #                           iteration, lanes re-sort by their NEXT
     #                           superchunk, blocks sweep only the <=QL
-    #                           superchunks their rays want. None = auto
-    #                           (ON where march_supported: two-level prep
-    #                           with VMEM-resident m3). The flat-kernel
-    #                           (small-scene) path never marches.
+    #                           superchunks their rays want. Default
+    #                           (None/False) = OFF: measured SLOWER than
+    #                           the one-shot culled sweep at every tried
+    #                           scale (grid 5391-6796 vs 4463 ms, mid
+    #                           3774 vs 1885 — campaigns r5l-r5o); the
+    #                           per-iteration glue outweighs the exact-
+    #                           frontier sweep savings. True forces it
+    #                           on where march_supported.
     regen_fuse_nee: bool = False  # regen NEE: ride bounce i's shadow
     #                           query on bounce i+1's fused kernel
     #                           (phase B) instead of a separate

@@ -20,17 +20,27 @@ Why no gathers: a fresh camera ray is pure arithmetic of its path id
 (pixel = id % n_pix, sample = id // n_pix, RNG seed = hash(px, py,
 frame·spp + sample)) — dead lanes compute their replacement in place.
 
-Why COLUMN scatters into 1-D outputs: three retirement designs were
-TPU-measured this round (examples/tpu_campaign_r4.log). (1) masked ROW
-scatters into (n_paths, k) buffers: ~60 ns/row — the first build spent
-~40% of the frame here. (2) an append-only retirement log with one
-final reorder: the log's (N, 10) layout pads its minor dim to 128
-lanes (~1 GB physical), so the per-iteration dynamic_update_slice and
-the loop-carry traffic on it cost more than the scatters it replaced.
-(3) per-COLUMN scalar scatters (~0.66 ms per 256k indices) into NINE
-separate 1-D (n_paths,) buffers — 1-D outputs never pad, results land
-pid-indexed directly (no final reorder), and the loop carry stays
-small. (3) wins and is what this module does.
+Retirement designs, in the order they were built and measured: (1)
+masked ROW scatters into (n_paths, k) buffers: ~60 ns/row. (2) a
+ROW-major append log: (N, 10) pads its minor dim to 128 lanes (~1 GB).
+(3) per-COLUMN scalar scatters into 1-D (n_paths,) buffers (~0.66 ms
+per 256k indices; `regen_retire="scatter"`). (4) the COLUMN-major
+contiguous log — the 3-way lane sort (live < freshly-dead < stale)
+makes each iteration's retirements one contiguous block, appended with
+ONE dynamic_update_slice into a (LOG_R, n_paths+nw) column-major log;
+one transpose + one 8-wide row gather at frame end lands everything
+pid-indexed. (4) is the default (`regen_retire="log"`), removing
+~190 ms/frame of scatters vs (3) at 1080p.
+
+Round-5b additions: ONE merged int32 permute gather per column group
+(row-gather cost is per-row per-gather; f32 bitcast to i32 — the int
+datapath is immune to the TPU denormal flush); UNFUSED NEE by default
+(a separate in-graph occlusion dispatch beats the fused phase-B design
+once host-loop dispatch overhead stopped existing); a two-stage DRAIN
+(the frame tail is straggler-bound — the sorted live prefix moves to
+smaller while_loops); and an optional frontier-MARCH traversal for
+superchunk scenes (built, bit-exact, measured slower than the one-shot
+culled sweep at every tried scale — see config.regen_march).
 
 Transport: per-path RNG streams and per-segment math are exactly the
 standard integrator's (render/integrator.py body), so each path's
@@ -39,8 +49,7 @@ the traversal (block composition differs, so `_block_chunk_order` may
 visit chunks in a different order; exact-t ties are measure-zero).
 Oracle test: tests/test_regen.py compares against path_trace.
 
-Limits: primal only (lax.while_loop is not reverse-differentiable);
-sort_rays scenes (>16-chunk auto) keep the standard loop by default.
+Limits: primal only (lax.while_loop is not reverse-differentiable).
 """
 
 from __future__ import annotations
@@ -149,8 +158,15 @@ def render_radiance_regen(scene: Scene, camera: Camera,
         from gdpathtracing_tpu.ops import intersect_pallas as _ip
         m_prep = _ip.prepare_trace_inputs(scene)
         m_ok = _ip.march_supported(scene, m_prep)
-        use_march = m_ok if config.regen_march is None \
-            else (bool(config.regen_march) and m_ok)
+        # Default OFF (round-5b measurement): the one-shot culled sweep
+        # + sorted lanes + drain beat every march variant end-to-end
+        # (grid 4463 vs 5391-6796 ms; mid 1885 vs 3774 — campaigns
+        # r5l-r5o). March's per-iteration glue (permute, scan, queue,
+        # shading epilogue over the full wavefront) exceeds what exact
+        # frontier sweeps save when culled one-shot steps cost ~0.8 µs.
+        # Kept as an option: it is the right shape if per-step cost ever
+        # dominates (much larger scenes, streamed m3).
+        use_march = (config.regen_march is True) and m_ok
     if use_march:
         from gdpathtracing_tpu.render.types import MISS_T as _MISS_T
         QL = int(config.regen_march_ql)
