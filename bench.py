@@ -163,6 +163,9 @@ def main() -> None:
                     help="force the frontier-march traversal off")
     ap.add_argument("--march-ql", type=int, default=None,
                     help="march queue slots per block (regen_march_ql)")
+    ap.add_argument("--drain-nw", type=int, default=None,
+                    help="first drain-stage wavefront "
+                         "(regen_drain_wavefront; default nw//3)")
     ap.add_argument("--scc", type=int, default=None,
                     help="override chunks-per-superchunk for the two-level "
                          "kernel (sweeps; default ops.intersect_pallas.SCC)")
@@ -222,6 +225,8 @@ def main() -> None:
         config = config.replace(regen_march=False)
     if args.march_ql is not None:
         config = config.replace(regen_march_ql=args.march_ql)
+    if args.drain_nw is not None:
+        config = config.replace(regen_drain_wavefront=args.drain_nw)
     if args.regen:
         config = config.replace(regen=True)
     if args.no_regen:

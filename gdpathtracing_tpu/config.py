@@ -260,7 +260,8 @@ class RenderConfig:
     #                           auto (on for frames with n_paths >= 2*nw,
     #                           fused-NEE excluded).
     regen_drain_wavefront: int | None = None  # phase-2 lane count
-    #                           (None = nw//3 rounded to 256)
+    #                           (None = nw//4 rounded to 256; swept in
+    #                           campaign r5p)
     regen_march_k: int = 6      # carried march candidates per lane: a
     #                           lane advances through up to K of its
     #                           next superchunks per iteration when its

@@ -393,7 +393,9 @@ def render_radiance_regen(scene: Scene, camera: Camera,
             and config.regen_drain is not False):
         dn = config.regen_drain_wavefront
         if dn is None:
-            dn = max(256, (nw // 3) // 256 * 256)
+            # nw//4 won the drain sweep (campaign r5p: 96k -> 232.7 ms
+            # vs 128k 233-238, 192k 237.6, 48k 237.3 at nw=384k)
+            dn = max(256, (nw // 4) // 256 * 256)
         enable = dn < nw and (config.regen_drain is True
                               or n_paths >= 2 * nw)
         if enable:
